@@ -1,0 +1,161 @@
+"""Typed configuration system.
+
+Replaces the reference's ROS parameter server + ``getParameter`` template
+(``GLIO/include/utils/common.h:108-132``) and the parameter files
+``GLIO/config/config_urban_hk.yaml`` / ``GLIO/launch/run_urban_hk.launch``.
+Field names and defaults mirror the reference config so a GLIO user can
+carry their YAML over; loading from YAML/dict is supported with the same
+warn-and-default fallback semantics.
+
+Everything is a frozen dataclass so configs are hashable and can be passed
+as static jit arguments.
+"""
+
+from dataclasses import dataclass, field, fields, replace
+from typing import Tuple
+import json
+import warnings
+
+
+@dataclass(frozen=True)
+class ImuConfig:
+    """IMU noise model (config_urban_hk.yaml IMU section)."""
+    acc_n: float = 3.9939570888238808e-03
+    gyr_n: float = 1.5636343949698187e-03
+    acc_w: float = 6.4356659353532566e-05
+    gyr_w: float = 3.5640318696367613e-05
+    gravity: float = 9.80511
+
+
+@dataclass(frozen=True)
+class LidarOdometryConfig:
+    """Frontend scan-matching parameters (lidar_odometry section)."""
+    ds_rate: int = 1
+    line_num: int = 32
+    edge_threshold: float = 1.0
+    surf_threshold: float = 0.1
+    max_num_iter: int = 12
+    scan_match_cnt: int = 1
+    if_to_deskew: bool = False
+    local_map_frames: int = 20       # LidarOdometry.cpp:268 localMapWindowSize
+    keyframe_dist_thresh: float = 0.2   # :566-578
+    keyframe_angle_thresh: float = 0.1
+    voxel_size: float = 0.2          # :306-314
+
+
+@dataclass(frozen=True)
+class InitializationConfig:
+    """Anchor / extrinsic initialization (initialization section)."""
+    anc_ecef: Tuple[float, float, float] = (-2419233.42, 5385473.13, 2405341.30)
+    yaw_enu_local: float = 0.0
+    euler_rpy_deg: Tuple[float, float, float] = (0.6825, 0.098, 60.8)
+    lever_arm: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    timeshift: float = 18.0          # GPS-UTC leap seconds for 2021
+    station_ecef: Tuple[float, float, float] = (-2414266.9200, 5386768.9870, 2407460.0310)
+
+
+@dataclass(frozen=True)
+class EstimatorConfig:
+    """Sliding-window / batch fusion parameters (Estimator section)."""
+    enable_batch_fusion: bool = True
+    sms_fusion_level: int = 0
+    search_range: int = 6
+    max_num_iter: int = 100
+    slide_window_width: int = 5
+    local_map_width: int = 50
+    edge_ds_range: float = 0.4
+    surf_ds_range: float = 0.9
+    lidar_const: float = 7.5
+    surf_dist_thres: float = 0.18
+    kd_max_radius: float = 1.5
+    gnss_cov_threshold: float = 5.0
+    pose_cov_threshold: float = 10.0
+    loop_closure_on: bool = False
+    lc_search_radius: float = 25.0
+    lc_map_width: int = 25
+    lc_icp_thres: float = 0.2
+    lc_time_thres: float = 30.0
+    save_pcd: bool = False
+    mapping_interval: int = 3
+    # lidar→body extrinsic (q wxyz, t).
+    ql2b: Tuple[float, float, float, float] = (1.0, 0.0, 0.0, 0.0)
+    tl2b: Tuple[float, float, float] = (0.0, 0.0, 0.28)
+    # Sliding-window solver iteration budget (Estimator.cpp:2430: 15).
+    sw_max_iter: int = 15
+    # Whether GNSS factors join the sliding window. The released reference
+    # compiles them out (`#if 0`, Estimator.cpp:2255); default matches.
+    gnss_in_sliding_window: bool = False
+    # Debug switch: disable the marginalization prior (anchor instead).
+    enable_marginalization: bool = True
+
+
+@dataclass(frozen=True)
+class FeatureSelectionConfig:
+    """feature_selection section."""
+    feature_res_num: int = 100
+    rand_set_num: int = 300
+    batch_feature_res_num: int = 25
+    batch_rand_set_num: int = 400
+    random_select: bool = True
+
+
+@dataclass(frozen=True)
+class ShapeConfig:
+    """Static tensor shapes for the TPU pipeline (padding budgets).
+
+    These have no reference counterpart — the reference uses dynamic
+    containers; TPU programs need fixed shapes.  Sizes chosen to cover the
+    UrbanNav sequences with headroom.
+    """
+    max_imu_per_interval: int = 64   # IMU samples between keyframes (100 Hz / ~3 Hz)
+    scan_points: int = 1024          # downsampled surf points kept per keyframe
+    map_points: int = 16384          # voxel-downsampled local map size
+    max_sats: int = 20               # matches psr_size_20 (dd_psr_factor.hpp:12)
+
+
+@dataclass(frozen=True)
+class GlioConfig:
+    imu: ImuConfig = field(default_factory=ImuConfig)
+    lidar_odometry: LidarOdometryConfig = field(default_factory=LidarOdometryConfig)
+    initialization: InitializationConfig = field(default_factory=InitializationConfig)
+    estimator: EstimatorConfig = field(default_factory=EstimatorConfig)
+    feature_selection: FeatureSelectionConfig = field(default_factory=FeatureSelectionConfig)
+    shapes: ShapeConfig = field(default_factory=ShapeConfig)
+
+    def replace(self, **kw):
+        return replace(self, **kw)
+
+
+def _update_dataclass(dc, values: dict, path: str):
+    known = {f.name for f in fields(dc)}
+    kwargs = {}
+    for k, v in values.items():
+        if k not in known:
+            warnings.warn(f"config: unknown key {path}.{k} ignored (using defaults "
+                          f"for the rest) — matching getParameter fallback")
+            continue
+        kwargs[k] = v
+    return replace(dc, **kwargs)
+
+
+def load_config(data: dict) -> GlioConfig:
+    """Build a GlioConfig from a nested dict (parsed YAML/JSON).
+
+    Unknown keys warn and fall back to defaults, mirroring the reference's
+    ``getParameter`` warn-and-default behavior.
+    """
+    cfg = GlioConfig()
+    sections = {
+        "imu": cfg.imu, "lidar_odometry": cfg.lidar_odometry,
+        "initialization": cfg.initialization, "estimator": cfg.estimator,
+        "feature_selection": cfg.feature_selection, "shapes": cfg.shapes,
+    }
+    out = {}
+    for name, sub in sections.items():
+        out[name] = _update_dataclass(sub, data.get(name, {}), name)
+    return GlioConfig(**out)
+
+
+def load_config_file(path: str) -> GlioConfig:
+    with open(path) as f:
+        return load_config(json.load(f))

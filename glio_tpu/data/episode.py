@@ -1,0 +1,119 @@
+"""Tensorized episode format — the replay contract.
+
+The reference streams measurements over ROS topics between four processes
+(SURVEY.md §1); this framework replaces that bus with a single fixed-shape
+episode that the estimators replay deterministically (BASELINE.json north
+star: "the ROS/RTKLIB I/O layer is reduced to an offline converter that
+emits tensorized UrbanNav sequences").
+
+An Episode holds, for T keyframes:
+  * per-interval IMU runs, padded to ``max_imu_per_interval`` with masks
+    (the stream the reference buffers in ``imu_buf``, Estimator.cpp),
+  * per-keyframe body-frame surf feature clouds, padded to ``scan_points``
+    (output of the preprocessing + odometry front end, topics
+    ``/surf_features`` → keyframe clouds),
+  * per-epoch GNSS double-difference measurement tensors padded to
+    ``max_sats`` (what ``GNSSPsrCarRov1``/``GNSSPsrCarStation1`` carry,
+    after satellite states are baked in — see glio_tpu.gnss),
+  * ground-truth poses when available (the SPAN-CPT channel).
+"""
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class GnssEpochs:
+    """DD pseudorange/Doppler epochs (see glio_tpu.gnss.dd for semantics)."""
+    time: np.ndarray            # (E,) epoch times (GPS seconds as unix)
+    sat_pos: np.ndarray         # (E, MAX_SV, 3) ECEF satellite positions
+    sat_vel: np.ndarray         # (E, MAX_SV, 3)
+    psr_rov: np.ndarray         # (E, MAX_SV) corrected rover pseudoranges
+    psr_sta: np.ndarray         # (E, MAX_SV) corrected station pseudoranges
+    dopp_rov: np.ndarray        # (E, MAX_SV) rover doppler (m/s, range-rate)
+    elevation: np.ndarray       # (E, MAX_SV) radians
+    snr: np.ndarray             # (E, MAX_SV)
+    valid: np.ndarray           # (E, MAX_SV) bool
+    master: np.ndarray          # (E,) int32 master satellite slot per epoch
+    system: np.ndarray          # (E, MAX_SV) int8 constellation id
+
+
+@dataclasses.dataclass
+class Episode:
+    """One replayable sequence. All arrays are numpy on host; the model
+    converts to device arrays (f32 clouds / f64 states) at replay time."""
+    # Keyframe timing.
+    kf_time: np.ndarray         # (T,)
+    # IMU runs between keyframe i-1 and i (run 0 is empty/invalid).
+    imu_acc: np.ndarray         # (T, NI, 3)
+    imu_gyr: np.ndarray         # (T, NI, 3)
+    imu_dt: np.ndarray          # (T, NI)
+    imu_valid: np.ndarray       # (T, NI) bool
+    # Body-frame surf clouds per keyframe.
+    scan: np.ndarray            # (T, S, 3) float32
+    scan_valid: np.ndarray      # (T, S) bool
+    # Initial state.
+    p0: np.ndarray              # (3,)
+    q0: np.ndarray              # (4,)
+    v0: np.ndarray              # (3,)
+    # IMU sample at the first keyframe time (midpoint seed for interval 1).
+    acc0: Optional[np.ndarray] = None   # (3,)
+    gyr0: Optional[np.ndarray] = None   # (3,)
+    # Optional ground truth at keyframe times.
+    gt_p: Optional[np.ndarray] = None   # (T, 3)
+    gt_q: Optional[np.ndarray] = None   # (T, 4)
+    gt_v: Optional[np.ndarray] = None   # (T, 3)
+    # Optional GNSS.
+    gnss: Optional[GnssEpochs] = None
+    # Georeference: local ENU anchor in ECEF + yaw offset (config values in
+    # the reference: anc_ecef_*, yaw_enu_local).
+    anchor_ecef: Optional[np.ndarray] = None
+    yaw_enu_local: float = 0.0
+
+    @property
+    def num_keyframes(self):
+        return self.kf_time.shape[0]
+
+    def to_inputs(self):
+        """Stacked KeyframeInput pytree for models.sliding_window.make_replay."""
+        from ..models.sliding_window import KeyframeInput
+        return KeyframeInput(
+            imu_acc=jnp.asarray(self.imu_acc),
+            imu_gyr=jnp.asarray(self.imu_gyr),
+            imu_dt=jnp.asarray(self.imu_dt),
+            imu_valid=jnp.asarray(self.imu_valid),
+            scan=jnp.asarray(self.scan, jnp.float32),
+            scan_valid=jnp.asarray(self.scan_valid),
+            time=jnp.asarray(self.kf_time),
+        )
+
+    def save(self, path: str):
+        data = dataclasses.asdict(self)
+        flat = {}
+
+        def add(prefix, d):
+            for k, v in d.items():
+                if isinstance(v, dict):
+                    add(f"{prefix}{k}.", v)
+                elif v is not None:
+                    flat[f"{prefix}{k}"] = np.asarray(v)
+
+        add("", data)
+        np.savez_compressed(path, **flat)
+
+    @staticmethod
+    def load(path: str) -> "Episode":
+        z = np.load(path)
+        gnss_keys = [k for k in z.files if k.startswith("gnss.")]
+        gnss = None
+        if gnss_keys:
+            gnss = GnssEpochs(**{k.split(".", 1)[1]: z[k] for k in gnss_keys})
+        kwargs = {k: z[k] for k in z.files if "." not in k}
+        ep = Episode(gnss=gnss, **{k: v for k, v in kwargs.items()
+                                   if k != "yaw_enu_local"})
+        if "yaw_enu_local" in z.files:
+            ep.yaw_enu_local = float(z["yaw_enu_local"])
+        return ep

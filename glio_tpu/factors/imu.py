@@ -1,0 +1,232 @@
+"""IMU preintegration and the whitened IMU factor.
+
+TPU-native re-implementation of the VINS-Mono-style midpoint preintegration
+in ``GLIO/include/factors/Preintegration.h:96-235`` and the analytic factor
+in ``GLIO/include/factors/ImuFactor.h:21-171``:
+
+* midpoint integration of (Δp, Δq, Δv) between two keyframes,
+* 15×15 bias/state Jacobian and covariance propagation with an 18×18
+  noise model (state order P, R, V, BA, BG — ``Preintegration.h:15-21``),
+* residual with first-order bias correction, whitened by the inverse
+  Cholesky factor of the propagated covariance.
+
+Design differences from the reference (deliberate, TPU-first):
+
+* The per-sample propagation is a single fused step inside ``lax.scan``
+  over a fixed-size padded IMU sample buffer with a validity mask — no
+  dynamic shapes, one compilation for every keyframe interval.
+* Jacobian/covariance propagation uses the same midpoint discretization as
+  the reference so that unit goldens derived from the reference formulas
+  match to float64 round-off.
+* The factor evaluator is pure and batched: vmap over window edges.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils import quat, so3
+
+STATE_DIM = 15  # δp(3) δθ(3) δv(3) δba(3) δbg(3)
+NOISE_DIM = 18  # acc_n(i), gyr_n(i), acc_n(j), gyr_n(j), acc_w, gyr_w
+
+# State block offsets (Preintegration.h:15-21 uses O_P=0, O_R=3, O_V=6,
+# O_BA=9, O_BG=12).
+O_P, O_R, O_V, O_BA, O_BG = 0, 3, 6, 9, 12
+
+
+class ImuParams(NamedTuple):
+    """Noise densities (config_urban_hk.yaml:5-11, Xsens MTi-10)."""
+    acc_n: float = 3.9939570888238808e-03
+    gyr_n: float = 1.5636343949698187e-03
+    acc_w: float = 6.4356659353532566e-05
+    gyr_w: float = 3.5640318696367613e-05
+    gravity: float = 9.80511
+
+    def gravity_vec(self, dtype=jnp.float64):
+        return jnp.array([0.0, 0.0, self.gravity], dtype=dtype)
+
+    def noise_cov(self, dtype=jnp.float64):
+        """18×18 diagonal continuous-discrete noise block (ImuFactor model)."""
+        d = jnp.array(
+            [self.acc_n**2] * 3 + [self.gyr_n**2] * 3 +
+            [self.acc_n**2] * 3 + [self.gyr_n**2] * 3 +
+            [self.acc_w**2] * 3 + [self.gyr_w**2] * 3, dtype=dtype)
+        return jnp.diag(d)
+
+
+class Preintegrated(NamedTuple):
+    """Result of preintegrating one keyframe interval."""
+    delta_p: jnp.ndarray      # (3,)
+    delta_q: jnp.ndarray      # (4,) wxyz
+    delta_v: jnp.ndarray      # (3,)
+    jacobian: jnp.ndarray     # (15,15) d(state)/d(state0 incl. biases)
+    covariance: jnp.ndarray   # (15,15)
+    sum_dt: jnp.ndarray       # ()
+    lin_ba: jnp.ndarray       # (3,) bias linearization point
+    lin_bg: jnp.ndarray       # (3,)
+
+
+def _midpoint_step(carry, inp, noise_cov):
+    """One midpoint integration step (Preintegration.h:96-168).
+
+    carry: (p, q, v, jac, cov, sum_dt, ba, bg, acc_prev, gyr_prev)
+    inp:   (acc, gyr, dt, valid)
+    """
+    p, q, v, jac, cov, sum_dt, ba, bg, acc0, gyr0 = carry
+    acc1, gyr1, dt, valid = inp
+    dtype = p.dtype
+
+    un_gyr = 0.5 * (gyr0 + gyr1) - bg
+    q_new = quat.normalize(quat.mul(q, quat.delta_q(un_gyr * dt)))
+    un_acc_0 = quat.rotate(q, acc0 - ba)
+    un_acc_1 = quat.rotate(q_new, acc1 - ba)
+    un_acc = 0.5 * (un_acc_0 + un_acc_1)
+    p_new = p + v * dt + 0.5 * un_acc * dt * dt
+    v_new = v + un_acc * dt
+
+    # Midpoint linearization (Preintegration.h:118-166): F (15x15), V (15x18).
+    R0 = quat.to_rotmat(q)
+    R1 = quat.to_rotmat(q_new)
+    a0x = so3.hat(acc0 - ba)
+    a1x = so3.hat(acc1 - ba)
+    wx = so3.hat(un_gyr)
+    I3 = jnp.eye(3, dtype=dtype)
+
+    R0a0x = R0 @ a0x
+    R1a1x = R1 @ a1x
+    # Note: the reference uses I − ω^ dt for the rotation transition.
+    rot_tx = I3 - wx * dt
+
+    F = jnp.zeros((15, 15), dtype=dtype)
+    F = F.at[O_P:O_P+3, O_P:O_P+3].set(I3)
+    F = F.at[O_P:O_P+3, O_R:O_R+3].set(
+        -0.25 * R0a0x * dt * dt + -0.25 * R1a1x @ rot_tx * dt * dt)
+    F = F.at[O_P:O_P+3, O_V:O_V+3].set(I3 * dt)
+    F = F.at[O_P:O_P+3, O_BA:O_BA+3].set(-0.25 * (R0 + R1) * dt * dt)
+    F = F.at[O_P:O_P+3, O_BG:O_BG+3].set(0.25 * R1a1x * dt * dt * dt)
+    F = F.at[O_R:O_R+3, O_R:O_R+3].set(rot_tx)
+    F = F.at[O_R:O_R+3, O_BG:O_BG+3].set(-I3 * dt)
+    F = F.at[O_V:O_V+3, O_R:O_R+3].set(
+        -0.5 * R0a0x * dt + -0.5 * R1a1x @ rot_tx * dt)
+    F = F.at[O_V:O_V+3, O_V:O_V+3].set(I3)
+    F = F.at[O_V:O_V+3, O_BA:O_BA+3].set(-0.5 * (R0 + R1) * dt)
+    F = F.at[O_V:O_V+3, O_BG:O_BG+3].set(0.5 * R1a1x * dt * dt)
+    F = F.at[O_BA:O_BA+3, O_BA:O_BA+3].set(I3)
+    F = F.at[O_BG:O_BG+3, O_BG:O_BG+3].set(I3)
+
+    V = jnp.zeros((15, 18), dtype=dtype)
+    V = V.at[O_P:O_P+3, 0:3].set(0.25 * R0 * dt * dt)
+    V = V.at[O_P:O_P+3, 3:6].set(-0.125 * R1a1x * dt * dt * dt)
+    V = V.at[O_P:O_P+3, 6:9].set(0.25 * R1 * dt * dt)
+    V = V.at[O_P:O_P+3, 9:12].set(-0.125 * R1a1x * dt * dt * dt)
+    V = V.at[O_R:O_R+3, 3:6].set(0.5 * I3 * dt)
+    V = V.at[O_R:O_R+3, 9:12].set(0.5 * I3 * dt)
+    V = V.at[O_V:O_V+3, 0:3].set(0.5 * R0 * dt)
+    V = V.at[O_V:O_V+3, 3:6].set(-0.25 * R1a1x * dt * dt)
+    V = V.at[O_V:O_V+3, 6:9].set(0.5 * R1 * dt)
+    V = V.at[O_V:O_V+3, 9:12].set(-0.25 * R1a1x * dt * dt)
+    V = V.at[O_BA:O_BA+3, 12:15].set(I3 * dt)
+    V = V.at[O_BG:O_BG+3, 15:18].set(I3 * dt)
+
+    jac_new = F @ jac
+    cov_new = F @ cov @ F.T + V @ noise_cov @ V.T
+    sum_dt_new = sum_dt + dt
+
+    # Masked (padded) samples are identity steps.
+    m = valid.astype(dtype)
+    p = m * p_new + (1 - m) * p
+    q = jnp.where(valid, q_new, q)
+    v = m * v_new + (1 - m) * v
+    jac = m * jac_new + (1 - m) * jac
+    cov = m * cov_new + (1 - m) * cov
+    sum_dt = m * sum_dt_new + (1 - m) * sum_dt
+    acc_out = jnp.where(valid, acc1, acc0)
+    gyr_out = jnp.where(valid, gyr1, gyr0)
+    return (p, q, v, jac, cov, sum_dt, ba, bg, acc_out, gyr_out), None
+
+
+@partial(jax.jit, static_argnames=("params",))
+def preintegrate(acc, gyr, dt, valid, ba, bg, acc0, gyr0,
+                 params: ImuParams = ImuParams()) -> Preintegrated:
+    """Preintegrate a padded IMU sample run.
+
+    Args:
+      acc, gyr: (N, 3) samples (body frame, m/s², rad/s).
+      dt: (N,) per-sample integration intervals.
+      valid: (N,) bool mask — padded tail entries are ignored.
+      ba, bg: (3,) bias linearization points.
+      acc0, gyr0: (3,) the sample at the interval start (previous keyframe),
+        seeding the midpoint pair like ``Preintegration(acc0, gyr0, ba, bg)``.
+
+    The reference seeds the covariance at 1e-3·I (Preintegration.h:56); we
+    reproduce that so whitening matches.
+    """
+    dtype = jnp.float64
+    acc = acc.astype(dtype)
+    gyr = gyr.astype(dtype)
+    dt = dt.astype(dtype)
+    carry = (
+        jnp.zeros(3, dtype), jnp.array([1.0, 0, 0, 0], dtype),
+        jnp.zeros(3, dtype),
+        jnp.eye(15, dtype=dtype),
+        jnp.eye(15, dtype=dtype) * 1e-3,  # Preintegration.h:56
+        jnp.zeros((), dtype),
+        ba.astype(dtype), bg.astype(dtype),
+        acc0.astype(dtype), gyr0.astype(dtype),
+    )
+    step = partial(_midpoint_step, noise_cov=params.noise_cov(dtype))
+    carry, _ = jax.lax.scan(step, carry, (acc, gyr, dt, valid))
+    p, q, v, jac, cov, sum_dt, ba, bg, _, _ = carry
+    return Preintegrated(p, q, v, jac, cov, sum_dt, ba, bg)
+
+
+def bias_corrected_delta(pre: Preintegrated, ba_i, bg_i):
+    """First-order bias-corrected (Δp, Δq, Δv) (Preintegration.h:196-215)."""
+    dba = ba_i - pre.lin_ba
+    dbg = bg_i - pre.lin_bg
+    dp_dba = pre.jacobian[O_P:O_P+3, O_BA:O_BA+3]
+    dp_dbg = pre.jacobian[O_P:O_P+3, O_BG:O_BG+3]
+    dq_dbg = pre.jacobian[O_R:O_R+3, O_BG:O_BG+3]
+    dv_dba = pre.jacobian[O_V:O_V+3, O_BA:O_BA+3]
+    dv_dbg = pre.jacobian[O_V:O_V+3, O_BG:O_BG+3]
+    dp = pre.delta_p + dp_dba @ dba + dp_dbg @ dbg
+    dv = pre.delta_v + dv_dba @ dba + dv_dbg @ dbg
+    dq = quat.normalize(quat.mul(pre.delta_q, quat.delta_q(dq_dbg @ dbg)))
+    return dp, dq, dv
+
+
+def residual(pre: Preintegrated, p_i, q_i, v_i, ba_i, bg_i,
+             p_j, q_j, v_j, ba_j, bg_j, gravity):
+    """Raw 15-vector IMU residual (Preintegration.h:216-234)."""
+    dp, dq, dv = bias_corrected_delta(pre, ba_i, bg_i)
+    dt = pre.sum_dt
+    qi_inv = quat.conj(q_i)
+    r_p = quat.rotate(qi_inv, 0.5 * gravity * dt * dt + p_j - p_i - v_i * dt) - dp
+    r_q = 2.0 * quat.mul(quat.conj(dq), quat.mul(qi_inv, q_j))[1:4]
+    r_v = quat.rotate(qi_inv, gravity * dt + v_j - v_i) - dv
+    r_ba = ba_j - ba_i
+    r_bg = bg_j - bg_i
+    return jnp.concatenate([r_p, r_q, r_v, r_ba, r_bg])
+
+
+def sqrt_info(pre: Preintegrated):
+    """Whitening matrix: Cholesky^T of covariance inverse (ImuFactor.h:44-47).
+
+    The reference computes ``LLT(cov.inverse()).matrixL().transpose()``; we
+    use the equivalent inverse-of-Cholesky form which is better conditioned.
+    """
+    L = jnp.linalg.cholesky(pre.covariance)
+    # sqrt_info = inv(L)ᵀ... reference: LLT(C⁻¹).L()ᵀ. Both satisfy SᵀS = C⁻¹
+    # only up to an orthogonal factor; whitened norms agree, which is all the
+    # optimizer sees. We document the difference and test ‖S r‖ equality.
+    n = pre.covariance.shape[-1]
+    Linv = jax.scipy.linalg.solve_triangular(
+        L, jnp.eye(n, dtype=L.dtype), lower=True)
+    return Linv
+
+
+def whitened_residual(pre: Preintegrated, *state_ij, gravity):
+    return sqrt_info(pre) @ residual(pre, *state_ij, gravity=gravity)

@@ -1,0 +1,121 @@
+"""TPU-friendly nearest-neighbor search over point-cloud maps.
+
+Replaces every PCL KD-tree ``nearestKSearch`` in the reference
+(``LidarOdometry.cpp:482,364``; ``Estimator.cpp:2056,3652``) with a
+brute-force **tiled top-k** that rides the MXU: squared distances between a
+query tile and a map tile are one matmul (‖q−p‖² = ‖q‖² + ‖p‖² − 2 qᵀp),
+and a running top-k merge over map tiles keeps VMEM bounded.  For map sizes
+the reference uses (≈10⁴–10⁵ points after 0.4 m voxel downsampling) this is
+faster on TPU than any tree: zero pointer chasing, perfectly regular.
+
+A voxel-hash bucketed variant can prune candidates further; measurement on
+v5e showed the plain tiled matmul already beats the per-frame budget by
+orders of magnitude, so the simple form is the default.
+
+Also provides the voxel-grid downsampling that replaces
+``pcl::VoxelGrid`` (``LidarOdometry.cpp:306-314``).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+BIG = jnp.inf
+
+
+@partial(jax.jit, static_argnames=("k", "tile"))
+def knn(query: jnp.ndarray, query_valid: jnp.ndarray,
+        points: jnp.ndarray, points_valid: jnp.ndarray,
+        k: int = 5, tile: int = 2048):
+    """k nearest neighbors of each query among valid map points.
+
+    Args:
+      query: (Q, 3) f32 query points (world frame).
+      query_valid: (Q,) bool.
+      points: (N, 3) f32 map points, N padded to a multiple of `tile`.
+      points_valid: (N,) bool.
+      k: neighbors per query (reference uses 5).
+      tile: map tile size per scan step.
+
+    Returns (dists², idx): (Q, k) squared distances (inf for missing) and
+    indices into `points` (−1 for missing).
+    """
+    Q = query.shape[0]
+    N = points.shape[0]
+    pad = (-N) % tile
+    if pad:
+        points = jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)])
+        points_valid = jnp.concatenate(
+            [points_valid, jnp.zeros((pad,), bool)])
+        N += pad
+    n_tiles = N // tile
+
+    q_sq = jnp.sum(query * query, axis=-1, keepdims=True)      # (Q, 1)
+
+    def body(carry, t):
+        best_d, best_i = carry
+        start = t * jnp.int32(tile)
+        p = jax.lax.dynamic_slice(points, (start, jnp.int32(0)), (tile, 3))
+        pv = jax.lax.dynamic_slice(points_valid, (start,), (tile,))
+        p_sq = jnp.sum(p * p, axis=-1)                         # (tile,)
+        # MXU: (Q,3) @ (3,tile).
+        cross = query @ p.T
+        d2 = q_sq + p_sq[None, :] - 2.0 * cross                # (Q, tile)
+        d2 = jnp.where(pv[None, :], d2, BIG)
+        idx = start + jax.lax.broadcasted_iota(jnp.int32, (Q, tile), 1)
+        # Merge with running best: take top-k of the 2k candidates.
+        cat_d = jnp.concatenate([best_d, d2], axis=1)
+        cat_i = jnp.concatenate([best_i, idx], axis=1)
+        neg_top, arg = jax.lax.top_k(-cat_d, k)
+        best_d = -neg_top
+        best_i = jnp.take_along_axis(cat_i, arg, axis=1)
+        return (best_d, best_i), None
+
+    init = (jnp.full((Q, k), BIG, query.dtype),
+            jnp.full((Q, k), -1, jnp.int32))
+    (best_d, best_i), _ = jax.lax.scan(body, init, jnp.arange(n_tiles, dtype=jnp.int32))
+    best_d = jnp.where(query_valid[:, None], best_d, BIG)
+    best_i = jnp.where(query_valid[:, None] & jnp.isfinite(best_d),
+                       best_i, -1)
+    return best_d, best_i
+
+
+def gather_neighbors(points, idx):
+    """Gather (Q, k, 3) neighbor coordinates; idx −1 → zeros."""
+    safe = jnp.maximum(idx, 0)
+    out = points[safe]
+    return jnp.where((idx >= 0)[..., None], out, 0.0)
+
+
+@partial(jax.jit, static_argnames=("max_out",))
+def voxel_downsample(points: jnp.ndarray, valid: jnp.ndarray,
+                     voxel: float, max_out: int,
+                     origin: float = 2048.0):
+    """Deterministic voxel-grid downsample to a fixed-size output.
+
+    TPU-shaped replacement for ``pcl::VoxelGrid``: quantize to voxel keys,
+    sort by key, keep the first point of each run (the reference's PCL
+    filter averages points per voxel; keeping a representative point
+    changes downstream plane fits by ≪ the voxel size and avoids a
+    segment-mean scatter). Output is padded/truncated to `max_out` with a
+    validity mask — deterministic for fixed input order.
+    """
+    dtype = points.dtype
+    key = jnp.floor(points / voxel + origin).astype(jnp.int64)
+    # 21 bits per axis packed into one int64 key.
+    packed = (key[:, 0] << 42) | (key[:, 1] << 21) | key[:, 2]
+    packed = jnp.where(valid, packed, jnp.int64(2**62))  # invalid sorts last
+    order = jnp.argsort(packed)
+    sorted_key = packed[order]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sorted_key[1:] != sorted_key[:-1]])
+    keep = first & (sorted_key < 2**62)
+    # Stable compaction: rank = position among kept.
+    rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, rank, max_out)  # overflow bucket
+    out = jnp.zeros((max_out + 1, 3), dtype)
+    out = out.at[jnp.minimum(dest, max_out)].set(points[order], mode="drop")
+    out_valid = jnp.zeros((max_out + 1,), bool).at[
+        jnp.minimum(dest, max_out)].set(keep, mode="drop")
+    return out[:max_out], out_valid[:max_out]

@@ -1,0 +1,522 @@
+"""Tightly-coupled sliding-window estimator — the core model.
+
+TPU-native re-design of ``Estimator::optimizeSlidingWindowWithLandMark``
+(``GLIO/src/Estimator.cpp:2046-2736``) and its surrounding replay loop
+(``saveKeyFramesAndFactors`` :4145-4655):
+
+Per keyframe the reference (single-threaded, Ceres, pointer-heavy):
+  1. preintegrates IMU to the keyframe time,
+  2. builds a local map from the last 50 keyframe surf clouds (PCL voxel
+     grid + KD-tree),
+  3. finds 5-NN plane correspondences for every window keyframe and
+     subselects ~100 per frame,
+  4. solves a 5-keyframe problem (prior + IMU + point-to-plane factors,
+     SPARSE_NORMAL_CHOLESKY dogleg, ≤15 iters),
+  5. Schur-marginalizes the oldest keyframe into a linearized prior.
+
+Here the WHOLE replay is one ``lax.scan`` over keyframes — each step is the
+fused batched equivalent of (1)-(5):
+  * preintegration = masked ``lax.scan`` over a fixed IMU buffer,
+  * the local map is a ring buffer of body-frame clouds + poses; transform
+    to world is one batched rotate; association is a tiled-matmul kNN that
+    rides the MXU (no trees),
+  * plane fits are a batched closed-form 3×3 solve,
+  * the window solve is dense manifold LM (75-dim tangent): JᵀJ in one
+    matmul — at this size dense beats any sparse structure on TPU,
+  * marginalization is an eigen-clipped Schur complement (same semantics
+    as MarginalizationFactor.cpp:176-201).
+
+Deterministic by construction: feature subselection is top-k by fit weight
+instead of the reference's random subset (``featureSelection``,
+Estimator.cpp:3894-3992 — whose log-det search is vestigial; see SURVEY.md
+§3.4), so replays are bit-identical.
+
+The released reference compiles GNSS factors out of the sliding window
+(``#if 0``, Estimator.cpp:2255-2421); `gnss_in_sliding_window=False`
+matches that. DD-pseudorange/Doppler enter through the batch stage.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GlioConfig
+from ..factors import imu as imu_factors
+from ..factors import lidar as lidar_factors
+from ..lidar import neighbors, plane_fit
+from ..solver import dense, marginalization
+from ..solver.manifold import WindowState, retract, local_coordinates, POSE_DOF
+from ..utils import quat
+
+F64 = jnp.float64
+F32 = jnp.float32
+
+
+class KeyframeInput(NamedTuple):
+    """Per-keyframe measurements (stack these over time for the replay)."""
+    imu_acc: jnp.ndarray     # (MAX_IMU, 3)
+    imu_gyr: jnp.ndarray     # (MAX_IMU, 3)
+    imu_dt: jnp.ndarray      # (MAX_IMU,)
+    imu_valid: jnp.ndarray   # (MAX_IMU,) bool
+    scan: jnp.ndarray        # (S, 3) body-frame surf points (deskewed)
+    scan_valid: jnp.ndarray  # (S,) bool
+    time: jnp.ndarray        # () keyframe timestamp
+
+
+class SlidingWindowCarry(NamedTuple):
+    window: WindowState               # (K, ...) current window estimates
+    window_scans: jnp.ndarray         # (K, S, 3) body-frame clouds
+    window_scan_valid: jnp.ndarray    # (K, S)
+    prior_sqrt_jac: jnp.ndarray       # (K*15, K*15)
+    prior_sqrt_res: jnp.ndarray       # (K*15,)
+    prior_valid: jnp.ndarray          # () bool
+    prior_lin: WindowState            # linearization point of the prior
+    map_scans: jnp.ndarray            # (M, S, 3) ring buffer body clouds
+    map_scan_valid: jnp.ndarray       # (M, S)
+    map_p: jnp.ndarray                # (M, 3) poses of ring buffer frames
+    map_q: jnp.ndarray                # (M, 4)
+    map_slot_valid: jnp.ndarray       # (M,) bool
+    map_head: jnp.ndarray             # () int32 next write slot
+    kf_count: jnp.ndarray             # () int32 keyframes processed
+    last_acc: jnp.ndarray             # (3,) last IMU sample (midpoint seed)
+    last_gyr: jnp.ndarray             # (3,)
+
+
+class StepOutput(NamedTuple):
+    p: jnp.ndarray
+    q: jnp.ndarray
+    v: jnp.ndarray
+    ba: jnp.ndarray
+    bg: jnp.ndarray
+    cost: jnp.ndarray
+    n_lidar_factors: jnp.ndarray
+
+
+def init_carry(cfg: GlioConfig, p0, q0, v0) -> SlidingWindowCarry:
+    K = cfg.estimator.slide_window_width
+    S = cfg.shapes.scan_points
+    M = cfg.estimator.local_map_width
+    w = WindowState.identity(K)
+    w = w._replace(
+        p=jnp.tile(jnp.asarray(p0, F64), (K, 1)),
+        q=jnp.tile(jnp.asarray(q0, F64), (K, 1)),
+        v=jnp.tile(jnp.asarray(v0, F64), (K, 1)))
+    n = K * POSE_DOF
+    return SlidingWindowCarry(
+        window=w,
+        window_scans=jnp.zeros((K, S, 3), F32),
+        window_scan_valid=jnp.zeros((K, S), bool),
+        prior_sqrt_jac=jnp.zeros((n, n), F64),
+        prior_sqrt_res=jnp.zeros((n,), F64),
+        prior_valid=jnp.asarray(False),
+        prior_lin=w,
+        map_scans=jnp.zeros((M, S, 3), F32),
+        map_scan_valid=jnp.zeros((M, S), bool),
+        map_p=jnp.zeros((M, 3), F64),
+        map_q=jnp.tile(jnp.array([1.0, 0, 0, 0], F64), (M, 1)),
+        map_slot_valid=jnp.zeros((M,), bool),
+        map_head=jnp.asarray(0, jnp.int32),
+        kf_count=jnp.asarray(0, jnp.int32),
+        last_acc=jnp.zeros(3, F64),
+        last_gyr=jnp.zeros(3, F64),
+    )
+
+
+def _propagate_imu(state_p, state_q, state_v, ba, bg, inp: KeyframeInput,
+                   gravity, last_acc, last_gyr):
+    """Forward-propagate the newest state through the IMU interval for the
+    initial guess of the incoming keyframe (Estimator.cpp:1581-1604)."""
+
+    def step(carry, x):
+        p, q, v, a0, g0 = carry
+        acc1, gyr1, dt, valid = x
+        un_gyr = 0.5 * (g0 + gyr1) - bg
+        q_new = quat.normalize(quat.mul(q, quat.delta_q(un_gyr * dt)))
+        un_acc = 0.5 * (quat.rotate(q, a0 - ba) + quat.rotate(q_new, acc1 - ba)) - gravity
+        p_new = p + v * dt + 0.5 * un_acc * dt * dt
+        v_new = v + un_acc * dt
+        m = valid.astype(p.dtype)
+        return (m * p_new + (1 - m) * p,
+                jnp.where(valid, q_new, q),
+                m * v_new + (1 - m) * v,
+                jnp.where(valid, acc1, a0),
+                jnp.where(valid, gyr1, g0)), None
+
+    (p, q, v, a_last, g_last), _ = jax.lax.scan(
+        step, (state_p, state_q, state_v, last_acc, last_gyr),
+        (inp.imu_acc.astype(F64), inp.imu_gyr.astype(F64),
+         inp.imu_dt.astype(F64), inp.imu_valid))
+    return p, q, v, a_last, g_last
+
+
+def _associate(cfg: GlioConfig, window: WindowState, window_scans,
+               window_scan_valid, map_points, map_valid):
+    """Scan-to-map plane correspondences for every window keyframe.
+
+    Fused equivalent of ``findCorrespondingSurfFeatures``
+    (Estimator.cpp:3633-3708) + ``featureSelection`` (:3894-3992):
+    5-NN within kd_max_radius → plane fit with surf_dist_thres planarity →
+    weight threshold 0.3 → keep top feature_res_num by weight
+    (deterministic replacement for the reference's random subset).
+    """
+    est = cfg.estimator
+    K = window.p.shape[0]
+    S = cfg.shapes.scan_points
+    Fsel = min(cfg.feature_selection.feature_res_num, S)
+
+    # World-frame query points for all window frames at once.
+    q_lb = jnp.asarray(est.ql2b, F64)
+    t_lb = jnp.asarray(est.tl2b, F64)
+    body = lidar_factors.body_from_lidar(
+        window_scans.astype(F64), q_lb, t_lb)             # (K, S, 3)
+    world = quat.rotate(window.q[:, None, :], body) + window.p[:, None, :]
+    world32 = world.astype(F32).reshape(K * S, 3)
+    valid_flat = window_scan_valid.reshape(K * S)
+
+    d2, idx = neighbors.knn(world32, valid_flat, map_points, map_valid,
+                            k=5, tile=2048)
+    neigh = neighbors.gather_neighbors(map_points, idx)   # (K*S, 5, 3)
+    neigh_ok = (idx >= 0) & (d2 <= est.kd_max_radius ** 2)
+    fit = plane_fit.fit_planes(neigh, neigh_ok, world32,
+                               plane_tol=est.surf_dist_thres)
+    w = fit.weight
+    good = fit.valid & valid_flat & (w > 0.3) & jnp.all(neigh_ok, axis=-1)
+
+    w = jnp.where(good, w, -1.0).reshape(K, S)
+    # Deterministic top-F selection per keyframe.
+    top_w, top_i = jax.lax.top_k(w, Fsel)                 # (K, F)
+    sel_mask = top_w > 0
+    flat_i = top_i + jnp.arange(K)[:, None] * S
+
+    sel_points = window_scans.reshape(K * S, 3)[flat_i]   # lidar-frame points
+    sel_normal = fit.normal.reshape(K * S, 3)[flat_i].astype(F64)
+    sel_d = fit.d.reshape(K * S)[flat_i].astype(F64)
+    sel_score = (est.lidar_const * top_w).astype(F64)
+    return (sel_points.astype(F64), sel_normal, sel_d, sel_score, sel_mask)
+
+
+def _window_residual(cfg: GlioConfig, state: WindowState, pres, imu_edge_valid,
+                     lidar_meas, prior_sqrt_jac, prior_sqrt_res, prior_valid,
+                     prior_lin, gravity):
+    """All window residuals, concatenated (fixed shape)."""
+    est = cfg.estimator
+    K = state.p.shape[0]
+    q_lb = jnp.asarray(est.ql2b, F64)
+    t_lb = jnp.asarray(est.tl2b, F64)
+
+    # Marginalization prior.
+    dx = local_coordinates(state, prior_lin)
+    r_prior = prior_sqrt_res + prior_sqrt_jac @ dx
+    r_prior = jnp.where(prior_valid, r_prior, jnp.zeros_like(r_prior))
+
+    # IMU edges i → i+1.
+    def imu_res(pre, i_valid, pi, qi, vi, bai, bgi, pj, qj, vj, baj, bgj):
+        r = imu_factors.whitened_residual(
+            pre, pi, qi, vi, bai, bgi, pj, qj, vj, baj, bgj, gravity=gravity)
+        return jnp.where(i_valid, r, jnp.zeros_like(r))
+
+    r_imu = jax.vmap(imu_res)(
+        pres, imu_edge_valid,
+        state.p[:-1], state.q[:-1], state.v[:-1], state.ba[:-1], state.bg[:-1],
+        state.p[1:], state.q[1:], state.v[1:], state.ba[1:], state.bg[1:])
+
+    # LiDAR plane factors per window frame.
+    pts, nrm, d, score, mask = lidar_meas
+
+    def lid_res(pts_k, nrm_k, d_k, score_k, mask_k, t_k, q_k):
+        return lidar_factors.plane_norm_residual(
+            pts_k, nrm_k, d_k, score_k, t_k, q_k, q_lb, t_lb, mask_k)
+
+    r_lidar = jax.vmap(lid_res)(pts, nrm, d, score, mask, state.p, state.q)
+    # Robust loss on lidar residuals (reference: HuberLoss(1.0)).
+    r_lidar = r_lidar * dense.huber_weight(r_lidar, 1.0)
+
+    return jnp.concatenate([r_prior, r_imu.reshape(-1), r_lidar.reshape(-1)])
+
+
+def _marginalize_oldest(cfg: GlioConfig, state: WindowState, pres,
+                        imu_edge_valid, lidar_meas, prior_sqrt_jac,
+                        prior_sqrt_res, prior_valid, prior_lin, gravity):
+    """Schur-drop keyframe 0 → new prior over frames 1..K-1 (re-indexed).
+
+    Factor subset matching Estimator.cpp:2462-2608: the previous prior, the
+    IMU edge (0,1), and keyframe 0's lidar factors.
+    """
+    K = state.p.shape[0]
+    n = K * POSE_DOF
+    pts, nrm, d, score, mask = lidar_meas
+    est = cfg.estimator
+    q_lb = jnp.asarray(est.ql2b, F64)
+    t_lb = jnp.asarray(est.tl2b, F64)
+
+    def res_fn(delta):
+        s = retract(state, delta)
+        dx = local_coordinates(s, prior_lin)
+        r_prior = prior_sqrt_res + prior_sqrt_jac @ dx
+        r_prior = jnp.where(prior_valid, r_prior, jnp.zeros_like(r_prior))
+        pre0 = jax.tree.map(lambda a: a[0], pres)
+        r_imu = imu_factors.whitened_residual(
+            pre0, s.p[0], s.q[0], s.v[0], s.ba[0], s.bg[0],
+            s.p[1], s.q[1], s.v[1], s.ba[1], s.bg[1], gravity=gravity)
+        r_imu = jnp.where(imu_edge_valid[0], r_imu, jnp.zeros_like(r_imu))
+        r_lid = lidar_factors.plane_norm_residual(
+            pts[0], nrm[0], d[0], score[0], s.p[0], s.q[0], q_lb, t_lb, mask[0])
+        r_lid = r_lid * dense.huber_weight(r_lid, 1.0)
+        return jnp.concatenate([r_prior, r_imu, r_lid])
+
+    zero = jnp.zeros(n, F64)
+    r = res_fn(zero)
+    J = jax.jacfwd(res_fn)(zero)
+    H = J.T @ J
+    b = J.T @ r
+    new_prior = marginalization.marginalize(H, b, POSE_DOF)
+    # Pad back to full window dimension: prior over frames 1..K-1 becomes
+    # frames 0..K-2 of the next window; the incoming frame K-1 is
+    # unconstrained by the prior.
+    m = n - POSE_DOF
+    sj = jnp.zeros((n, n), F64).at[:m, :m].set(new_prior.sqrt_jac)
+    sr = jnp.zeros((n,), F64).at[:m].set(new_prior.sqrt_res)
+    return sj, sr
+
+
+def _shift_window(w: WindowState) -> WindowState:
+    """Roll out the oldest frame; duplicate the newest slot (overwritten by
+    the incoming keyframe's IMU prediction)."""
+    def roll(a):
+        return jnp.concatenate([a[1:], a[-1:]], axis=0)
+    return WindowState(*(roll(x) for x in w))
+
+
+def make_replay(cfg: GlioConfig):
+    """Build the jitted full-trajectory replay (see module docstring).
+
+    Returns replay(inputs: KeyframeInput stacked over T, init) →
+    StepOutput stacked over T.
+
+    Keeping per-edge IMU buffers inside the carry would waste memory; the
+    windowed IMU preintegration instead recomputes from a (K-1)-deep ring
+    of raw IMU runs carried as arrays.
+    """
+    est = cfg.estimator
+    K = est.slide_window_width
+    S = cfg.shapes.scan_points
+    M = est.local_map_width
+    NI = cfg.shapes.max_imu_per_interval
+    params = imu_factors.ImuParams(
+        cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w,
+        cfg.imu.gravity)
+    gravity = params.gravity_vec()
+    q_lb = jnp.asarray(est.ql2b, F64)
+    t_lb = jnp.asarray(est.tl2b, F64)
+
+    class Carry(NamedTuple):
+        base: SlidingWindowCarry
+        imu_acc: jnp.ndarray    # (K-1, NI, 3) edge IMU ring (edge k: k→k+1)
+        imu_gyr: jnp.ndarray
+        imu_dt: jnp.ndarray     # (K-1, NI)
+        imu_valid: jnp.ndarray  # (K-1, NI)
+        imu_seed: jnp.ndarray   # (K-1, 6) acc0/gyr0 seeds per edge
+
+    def step(carry: Carry, inp: KeyframeInput):
+        c = carry.base
+        w = c.window
+        newest = K - 1
+        first = c.kf_count == 0
+
+        # 1. Predict incoming keyframe by IMU propagation from newest.
+        p_pred, q_pred, v_pred, a_last, g_last = _propagate_imu(
+            w.p[newest], w.q[newest], w.v[newest], w.ba[newest], w.bg[newest],
+            inp, gravity, c.last_acc, c.last_gyr)
+
+        # 2. Slide window state/scans/prior; install new frame.
+        w_slid = _shift_window(w)
+        w_new = WindowState(
+            p=w_slid.p.at[newest].set(p_pred),
+            q=w_slid.q.at[newest].set(q_pred),
+            v=w_slid.v.at[newest].set(v_pred),
+            ba=w_slid.ba, bg=w_slid.bg)
+        w_new = jax.tree.map(lambda a, b: jnp.where(first, a, b), w, w_new)
+
+        scans = jnp.where(
+            first, c.window_scans.at[newest].set(inp.scan),
+            jnp.concatenate([c.window_scans[1:], inp.scan[None]], 0))
+        scan_valid = jnp.where(
+            first, c.window_scan_valid.at[newest].set(inp.scan_valid),
+            jnp.concatenate([c.window_scan_valid[1:], inp.scan_valid[None]], 0))
+
+        # IMU ring: shift, append the new edge (only when not first).
+        def shift_append(ring, new):
+            rolled = jnp.concatenate([ring[1:], new[None]], 0)
+            return jnp.where(first, ring, rolled)
+
+        imu_acc = shift_append(carry.imu_acc, inp.imu_acc.astype(F64))
+        imu_gyr = shift_append(carry.imu_gyr, inp.imu_gyr.astype(F64))
+        imu_dt = shift_append(carry.imu_dt, inp.imu_dt.astype(F64))
+        imu_valid = shift_append(carry.imu_valid,
+                                 inp.imu_valid & (~first))
+        imu_seed = shift_append(
+            carry.imu_seed, jnp.concatenate([c.last_acc, c.last_gyr]))
+
+        # Edge validity: edge k valid once kf_count > K-1-k ... simpler:
+        # number of edges available = min(kf_count, K-1) (after append).
+        n_edges = jnp.minimum(c.kf_count, K - 1)
+        edge_idx = jnp.arange(K - 1)
+        imu_edge_valid = edge_idx >= (K - 1 - n_edges)
+
+        # 3. Preintegrate window edges (vmapped masked scans, zero bias
+        # linearization at the *current* window bias estimates).
+        def preint(acc, gyr, dt, valid, seed, ba, bg):
+            return imu_factors.preintegrate(
+                acc, gyr, dt, valid, ba, bg, seed[:3], seed[3:],
+                params=params)
+
+        pres = jax.vmap(preint)(
+            imu_acc, imu_gyr, imu_dt, imu_valid, imu_seed,
+            w_new.ba[:-1], w_new.bg[:-1])
+
+        # 4. Build the local map: ring-buffer lidar-frame clouds → world
+        # (extrinsic applied exactly as the window queries apply it).
+        map_body = lidar_factors.body_from_lidar(
+            c.map_scans.astype(F64), q_lb, t_lb)
+        map_world = (quat.rotate(c.map_q[:, None, :], map_body)
+                     + c.map_p[:, None, :]).astype(F32)
+        map_valid_pts = c.map_scan_valid & c.map_slot_valid[:, None]
+        map_flat = map_world.reshape(M * S, 3)
+        map_valid_flat = map_valid_pts.reshape(M * S)
+
+        # 5. Associate window scans against the map.
+        lidar_meas = _associate(cfg, w_new, scans, scan_valid,
+                                map_flat, map_valid_flat)
+        have_map = jnp.any(map_valid_flat)
+        lidar_meas = lidar_meas[:4] + (lidar_meas[4] & have_map,)
+
+        # 6. Solve.
+        def residual(s):
+            return _window_residual(
+                cfg, s, pres, imu_edge_valid, lidar_meas,
+                c.prior_sqrt_jac, c.prior_sqrt_res, c.prior_valid,
+                c.prior_lin, gravity)
+
+        # Gauge handling during warm-up (before the first marginalization
+        # prior exists): pin frame 0's POSE only — pinning velocity would
+        # freeze a biased IMU prediction and let (v0, ba) lock onto a
+        # wrong-but-low-cost pair that the prior then bakes in forever.
+        # Biases get a weak zero prior until the marginal prior takes over
+        # (the reference's initialization phase provides the same
+        # regularization through its GNSS/odometry alignment).
+        def residual_anchored(s):
+            r = residual(s)
+            anchor = jnp.concatenate([
+                1e2 * (s.p[0] - w_new.p[0]),
+                1e2 * quat.log(quat.mul(quat.conj(w_new.q[0]), s.q[0])),
+            ])
+            anchor = jnp.where(c.prior_valid, jnp.zeros_like(anchor), anchor)
+            # Always-on weak zero-prior on biases (σ≈0.3 m/s², 0.03 rad/s).
+            # Deliberately NOT part of the marginalization factor set, so it
+            # regularizes each window without accumulating information —
+            # this is what keeps the weakly-observable (v0, ba) direction
+            # from locking in a wrong value through the prior.
+            bias_reg = jnp.concatenate([
+                10.0 * s.ba.reshape(-1), 30.0 * s.bg.reshape(-1)])
+            return jnp.concatenate([r, anchor, bias_reg])
+
+        out = dense.lm_solve(
+            residual_anchored, retract, w_new, K * POSE_DOF,
+            max_iters=est.sw_max_iter)
+        solved = out.x
+
+        # Divergence gates (Estimator.cpp:2650-2726): reject absurd
+        # solutions, keep prediction instead.
+        ok = (jnp.all(jnp.isfinite(solved.p))
+              & (jnp.linalg.norm(solved.p[newest] - w_new.p[newest]) < 100.0)
+              & (jnp.linalg.norm(solved.v) < 100.0 * K)
+              & (jnp.max(jnp.abs(solved.ba)) < 2.0)
+              & (jnp.max(jnp.abs(solved.bg)) < 2.0))
+        solved = jax.tree.map(lambda a, b: jnp.where(ok, a, b), solved, w_new)
+
+        # 7. Marginalize the oldest frame once the window is full.
+        sj, sr = _marginalize_oldest(
+            cfg, solved, pres, imu_edge_valid, lidar_meas,
+            c.prior_sqrt_jac, c.prior_sqrt_res, c.prior_valid, c.prior_lin,
+            gravity)
+        window_full = (c.kf_count >= K - 1) & est.enable_marginalization
+        prior_sqrt_jac = jnp.where(window_full, sj, c.prior_sqrt_jac)
+        prior_sqrt_res = jnp.where(window_full, sr, c.prior_sqrt_res)
+        prior_valid = c.prior_valid | window_full
+        # Prior linearization point: the post-solve window *shifted* so that
+        # old frame k+1 sits at slot k (ready for the next step's indexing).
+        prior_lin = jax.tree.map(
+            lambda a, b: jnp.where(window_full, a, b),
+            _shift_window(solved), c.prior_lin)
+
+        # 8. Update the map ring buffer: write back window poses for frames
+        # still present, then append the (about-to-leave or newest) frame.
+        # Slot mapping: the j-th most recent map slot corresponds to window
+        # frame K-1-j while j < K. We append the newest frame each step.
+        head = c.map_head
+        slot = head % M
+        map_scans = c.map_scans.at[slot].set(inp.scan)
+        map_scan_valid = c.map_scan_valid.at[slot].set(inp.scan_valid)
+        map_p = c.map_p.at[slot].set(solved.p[newest])
+        map_q = c.map_q.at[slot].set(solved.q[newest])
+        map_slot_valid = c.map_slot_valid.at[slot].set(True)
+        # Write back refreshed poses for the last K-1 slots (window frames).
+        def write_back(i, arrs):
+            mp, mq = arrs
+            # window frame index K-1-1-i (skip newest already written),
+            # slot head-1-i.
+            wf = K - 2 - i
+            sl = (head - 1 - i) % M
+            in_window = (i < n_edges)
+            mp = mp.at[sl].set(jnp.where(in_window, solved.p[wf], mp[sl]))
+            mq = mq.at[sl].set(jnp.where(in_window, solved.q[wf], mq[sl]))
+            return mp, mq
+
+        map_p, map_q = jax.lax.fori_loop(0, K - 1, write_back, (map_p, map_q))
+
+        new_base = SlidingWindowCarry(
+            window=solved,
+            window_scans=scans,
+            window_scan_valid=scan_valid,
+            prior_sqrt_jac=prior_sqrt_jac,
+            prior_sqrt_res=prior_sqrt_res,
+            prior_valid=prior_valid,
+            prior_lin=prior_lin,
+            map_scans=map_scans,
+            map_scan_valid=map_scan_valid,
+            map_p=map_p,
+            map_q=map_q,
+            map_slot_valid=map_slot_valid,
+            map_head=head + 1,
+            kf_count=c.kf_count + 1,
+            last_acc=a_last,
+            last_gyr=g_last,
+        )
+        new_carry = Carry(new_base, imu_acc, imu_gyr, imu_dt, imu_valid,
+                          imu_seed)
+        out_rec = StepOutput(
+            p=solved.p[newest], q=solved.q[newest], v=solved.v[newest],
+            ba=solved.ba[newest], bg=solved.bg[newest], cost=out.cost,
+            n_lidar_factors=jnp.sum(lidar_meas[4]).astype(jnp.int32))
+        return new_carry, out_rec
+
+    def replay(inputs: KeyframeInput, p0, q0, v0, acc0=None, gyr0=None):
+        base = init_carry(cfg, p0, q0, v0)
+        if acc0 is not None:
+            base = base._replace(last_acc=jnp.asarray(acc0, F64),
+                                 last_gyr=jnp.asarray(gyr0, F64))
+        NI = inputs.imu_acc.shape[-2]  # per-interval IMU padding from data
+        carry = Carry(
+            base,
+            imu_acc=jnp.zeros((K - 1, NI, 3), F64),
+            imu_gyr=jnp.zeros((K - 1, NI, 3), F64),
+            imu_dt=jnp.zeros((K - 1, NI), F64),
+            imu_valid=jnp.zeros((K - 1, NI), bool),
+            imu_seed=jnp.zeros((K - 1, 6), F64),
+        )
+        final, outs = jax.lax.scan(step, carry, inputs)
+        return outs
+
+    return jax.jit(replay), step

@@ -1,0 +1,109 @@
+"""Schur-complement marginalization prior.
+
+TPU-native equivalent of the VINS-style marginalization in
+``GLIO/src/MarginalizationFactor.cpp`` /
+``GLIO/include/factors/MarginalizationFactor.h``:
+
+* collect the residual blocks that touch the state being dropped,
+* assemble the Gauss-Newton system H = JᵀJ, b = Jᵀr over (drop ∪ keep),
+* eliminate the dropped block with an eigenvalue-clipped pseudo-inverse
+  (``MarginalizationFactor.cpp:176-201``),
+* factor the resulting prior information into a linearized residual
+  r(x) = r₀ + J₀ · (x ⊟ x₀) evaluated with quaternion-aware local
+  coordinates (``:233-287``).
+
+Differences from the reference (deliberate):
+* The reference spawns 4 pthreads to accumulate H (``:151-174``); here the
+  accumulation is a single batched matmul — XLA parallelizes it.
+* We marginalize from an already-assembled dense (H, b) of the window
+  rather than re-evaluating per-factor Jacobian lists: at window size 5 the
+  dense system is 75×75 and this is strictly faster on TPU.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class MarginalPrior(NamedTuple):
+    """Linearized prior factor kept after dropping the oldest keyframe.
+
+    residual(x) = sqrt_info_residual + sqrt_info_jacobian @ local(x, x0)
+    where local() are the keep-block tangent coordinates around the
+    linearization point captured at marginalization time.
+    """
+    sqrt_jac: jnp.ndarray   # (n_keep, n_keep)
+    sqrt_res: jnp.ndarray   # (n_keep,)
+    valid: jnp.ndarray      # () bool — False until first marginalization
+
+
+def identity_prior(n_keep: int, dtype=jnp.float64) -> MarginalPrior:
+    return MarginalPrior(
+        sqrt_jac=jnp.zeros((n_keep, n_keep), dtype),
+        sqrt_res=jnp.zeros((n_keep,), dtype),
+        valid=jnp.asarray(False),
+    )
+
+
+def _clipped_sqrt_and_isqrt(A, eps):
+    """Eigen-clipped (A^{1/2}, A^{-1}) pair for a symmetric matrix.
+
+    Matches the reference's SelfAdjointEigenSolver-based pseudo-inverse and
+    square-root-information recovery (``MarginalizationFactor.cpp:176-231``):
+    eigenvalues below eps are treated as exactly zero.
+    """
+    w, V = jnp.linalg.eigh(A)
+    ok = w > eps
+    w_c = jnp.where(ok, w, 1.0)
+    inv = (V * jnp.where(ok, 1.0 / w_c, 0.0)) @ V.T
+    sqrt = (V * jnp.where(ok, jnp.sqrt(w_c), 0.0)) @ V.T
+    return sqrt, inv
+
+
+def marginalize(H: jnp.ndarray, b: jnp.ndarray, n_drop: int,
+                eps: float = 1e-8) -> MarginalPrior:
+    """Schur-eliminate the leading n_drop tangent dims of (H, b).
+
+    Args:
+      H: (n, n) Gauss-Newton information of all factors touching the window,
+         evaluated at the current linearization point. Ordering: dropped
+         block first, kept block after (the caller arranges the oldest
+         keyframe first, matching the reference's drop-set bookkeeping).
+      b: (n,) gradient Jᵀr at the same point.
+
+    Returns the linearized prior over the kept block. The returned
+    (sqrt_jac, sqrt_res) satisfy sqrt_jacᵀ sqrt_jac = H_schur and
+    sqrt_jacᵀ sqrt_res = b_schur, mirroring
+    ``linearized_jacobians/linearized_residuals`` recovery at
+    ``MarginalizationFactor.cpp:203-231``.
+    """
+    H = 0.5 * (H + H.T)
+    Hmm = H[:n_drop, :n_drop]
+    Hmr = H[:n_drop, n_drop:]
+    Hrm = H[n_drop:, :n_drop]
+    Hrr = H[n_drop:, n_drop:]
+    bm = b[:n_drop]
+    br = b[n_drop:]
+
+    _, Hmm_inv = _clipped_sqrt_and_isqrt(0.5 * (Hmm + Hmm.T), eps)
+    A = Hrr - Hrm @ Hmm_inv @ Hmr
+    g = br - Hrm @ Hmm_inv @ bm
+
+    # Recover a square-root factorization: S = Λ^{1/2} Vᵀ with clipping.
+    w, V = jnp.linalg.eigh(0.5 * (A + A.T))
+    ok = w > eps
+    w_c = jnp.where(ok, w, 1.0)
+    sqrt_w = jnp.where(ok, jnp.sqrt(w_c), 0.0)
+    isqrt_w = jnp.where(ok, 1.0 / jnp.sqrt(w_c), 0.0)
+    S = sqrt_w[:, None] * V.T            # SᵀS = A
+    Sinv_t = isqrt_w[:, None] * V.T      # Sinv_tᵀ @ ... : S^{-T} = isqrt·Vᵀ
+    r0 = Sinv_t @ g                      # Sᵀ r0 = g
+    return MarginalPrior(sqrt_jac=S, sqrt_res=r0, valid=jnp.asarray(True))
+
+
+def prior_residual(prior: MarginalPrior, local_dx: jnp.ndarray) -> jnp.ndarray:
+    """Whitened prior residual given tangent offset from the linearization
+    point. Zero (masked) while no marginalization has happened yet."""
+    r = prior.sqrt_res + prior.sqrt_jac @ local_dx
+    return jnp.where(prior.valid, r, jnp.zeros_like(r))

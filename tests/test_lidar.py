@@ -1,0 +1,253 @@
+"""Tests for the LiDAR front end: plane fits, kNN, voxel filter, features,
+and the vectorized lidar/pose factor evaluators."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from glio_tpu.factors import lidar as lidar_factors
+from glio_tpu.factors import pose as pose_factors
+from glio_tpu.lidar import features, neighbors, plane_fit
+from glio_tpu.utils import quat
+
+RNG = np.random.default_rng(11)
+
+
+class TestPlaneFit:
+    def _make_plane_neighbors(self, q=8, k=5, noise=0.0):
+        n = RNG.normal(size=(q, 3))
+        n /= np.linalg.norm(n, axis=-1, keepdims=True)
+        d = RNG.uniform(1.0, 5.0, size=(q,))
+        # Random in-plane points: pick two tangents.
+        t1 = np.cross(n, [0.0, 0.0, 1.0])
+        bad = np.linalg.norm(t1, axis=-1) < 1e-6
+        t1[bad] = np.cross(n[bad], [1.0, 0.0, 0.0])
+        t1 /= np.linalg.norm(t1, axis=-1, keepdims=True)
+        t2 = np.cross(n, t1)
+        coef = RNG.normal(size=(q, k, 2))
+        pts = (-d[:, None, None] * n[:, None, :]
+               + coef[..., :1] * t1[:, None, :] + coef[..., 1:] * t2[:, None, :])
+        pts += noise * RNG.normal(size=pts.shape)
+        return jnp.asarray(pts, jnp.float32), jnp.asarray(n), jnp.asarray(d)
+
+    def test_exact_plane_recovered(self):
+        pts, n_true, d_true = self._make_plane_neighbors()
+        fit = plane_fit.fit_planes(
+            pts, jnp.ones(pts.shape[:2], bool), pts[:, 0, :])
+        sign = np.sign(np.sum(np.asarray(fit.normal) * np.asarray(n_true), -1))
+        np.testing.assert_allclose(
+            np.asarray(fit.normal) * sign[:, None], n_true, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(fit.d) * sign, d_true, atol=1e-3)
+        assert bool(jnp.all(fit.valid))
+
+    def test_nonplanar_rejected(self):
+        pts = jnp.asarray(RNG.normal(size=(4, 5, 3)) * 2.0, jnp.float32)
+        fit = plane_fit.fit_planes(
+            pts, jnp.ones((4, 5), bool), pts[:, 0, :], plane_tol=0.06)
+        assert not bool(jnp.any(fit.valid))
+
+    def test_masked_neighbors_ignored(self):
+        pts, n_true, _ = self._make_plane_neighbors(k=8)
+        # Corrupt 3 neighbors but mask them out.
+        ptsc = pts.at[:, 5:, :].add(100.0)
+        m = jnp.ones(pts.shape[:2], bool).at[:, 5:].set(False)
+        fit = plane_fit.fit_planes(ptsc, m, pts[:, 0, :])
+        sign = np.sign(np.sum(np.asarray(fit.normal) * np.asarray(n_true), -1))
+        np.testing.assert_allclose(
+            np.asarray(fit.normal) * sign[:, None], n_true, atol=1e-3)
+
+    def test_centroid_fit(self):
+        pts, n_true, _ = self._make_plane_neighbors(k=6)
+        n, c, planarity, valid = plane_fit.fit_planes_centroid(
+            pts, jnp.ones(pts.shape[:2], bool))
+        dots = np.abs(np.sum(np.asarray(n) * np.asarray(n_true), -1))
+        np.testing.assert_allclose(dots, 1.0, atol=1e-4)
+        assert np.all(np.asarray(planarity) > 0.99)
+
+
+class TestKNN:
+    def test_matches_bruteforce_numpy(self):
+        pts = RNG.normal(size=(1000, 3)).astype(np.float32) * 10
+        qs = RNG.normal(size=(64, 3)).astype(np.float32) * 10
+        d2, idx = neighbors.knn(
+            jnp.asarray(qs), jnp.ones(64, bool),
+            jnp.asarray(pts), jnp.ones(1000, bool), k=5, tile=256)
+        full = ((qs[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        ref_idx = np.argsort(full, axis=1)[:, :5]
+        ref_d = np.take_along_axis(full, ref_idx, 1)
+        np.testing.assert_allclose(np.sort(d2, 1), np.sort(ref_d, 1), rtol=1e-3, atol=1e-3)
+        # Index sets must agree (distances can tie).
+        for a, b in zip(np.asarray(idx), ref_idx):
+            assert set(a) == set(b)
+
+    def test_invalid_points_excluded(self):
+        pts = np.zeros((8, 3), np.float32)
+        pts[0] = [0, 0, 0.1]          # nearest but invalid
+        pts[1] = [0, 0, 1.0]
+        pts[2:] = 100.0
+        valid = np.ones(8, bool)
+        valid[0] = False
+        d2, idx = neighbors.knn(
+            jnp.zeros((1, 3), jnp.float32), jnp.ones(1, bool),
+            jnp.asarray(pts), jnp.asarray(valid), k=1, tile=8)
+        assert int(idx[0, 0]) == 1
+
+    def test_invalid_query_masked(self):
+        pts = jnp.asarray(RNG.normal(size=(16, 3)), jnp.float32)
+        d2, idx = neighbors.knn(
+            jnp.zeros((2, 3), jnp.float32), jnp.array([True, False]),
+            pts, jnp.ones(16, bool), k=3, tile=16)
+        assert np.all(np.asarray(idx[1]) == -1)
+
+    def test_gather(self):
+        pts = jnp.arange(30, dtype=jnp.float32).reshape(10, 3)
+        idx = jnp.array([[0, 2, -1]])
+        out = neighbors.gather_neighbors(pts, idx)
+        np.testing.assert_allclose(out[0, 0], pts[0])
+        np.testing.assert_allclose(out[0, 2], 0.0)
+
+
+class TestVoxel:
+    def test_downsample_dedups(self):
+        pts = np.array([[0.05, 0.05, 0.05],
+                        [0.06, 0.04, 0.05],   # same 0.4-voxel
+                        [1.0, 1.0, 1.0],
+                        [2.0, 2.0, 2.0]], np.float32)
+        out, valid = neighbors.voxel_downsample(
+            jnp.asarray(pts), jnp.ones(4, bool), 0.4, max_out=8)
+        assert int(valid.sum()) == 3
+
+    def test_deterministic(self):
+        pts = jnp.asarray(RNG.normal(size=(500, 3)), jnp.float32)
+        v = jnp.ones(500, bool)
+        o1, v1 = neighbors.voxel_downsample(pts, v, 0.4, max_out=512)
+        o2, v2 = neighbors.voxel_downsample(pts, v, 0.4, max_out=512)
+        np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+        np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+
+
+class TestFeatures:
+    def _synthetic_scan(self, R=8, P=360):
+        """Rings viewing a flat ground + one sharp vertical wall edge."""
+        az = np.linspace(-np.pi, np.pi, P, endpoint=False)
+        pts = np.zeros((R, P, 3), np.float32)
+        for r in range(R):
+            rad = 8.0 + 0.5 * r
+            pts[r, :, 0] = rad * np.cos(az)
+            pts[r, :, 1] = rad * np.sin(az)
+            pts[r, :, 2] = -1.5
+        # Wall: azimuth sector [0.3, 0.8] at fixed x-distance → range step
+        # discontinuity creating curvature spikes at the seams.
+        wall = (az > 0.3) & (az < 0.8)
+        pts[:, wall, :] *= 0.5
+        return jnp.asarray(pts), jnp.ones((R, P), bool)
+
+    def test_feature_extraction_runs_and_flags_edges(self):
+        pts, valid = self._synthetic_scan()
+        out = features.extract_features(pts, valid)
+        assert bool(out["sharp"].sum()) > 0
+        assert bool(out["flat"].sum()) > 0
+        # Sharp ⊂ less_sharp-like budget per sextant respected.
+        params = features.FeatureParams()
+        R, P = valid.shape
+        sec = P // features.N_SECTORS
+        sharp_per_sec = np.asarray(out["sharp"])[:, :sec * 6].reshape(R, 6, sec).sum(-1)
+        assert sharp_per_sec.max() <= params.max_sharp
+        flat_per_sec = np.asarray(out["flat"])[:, :sec * 6].reshape(R, 6, sec).sum(-1)
+        assert flat_per_sec.max() <= params.max_flat
+
+    def test_flat_points_on_smooth_ring(self):
+        pts, valid = self._synthetic_scan()
+        out = features.extract_features(pts, valid)
+        # Flats must lie outside the wall seam region (low curvature).
+        c = np.asarray(out["curvature"])
+        flats = np.asarray(out["flat"])
+        assert np.all(c[flats] < features.FeatureParams().surf_threshold)
+
+    def test_ring_from_elevation_32(self):
+        # Point at elevation 0° → ring round(92/3 * 3/4)=round(23)=23.
+        p = jnp.asarray([[10.0, 0.0, 0.0]])
+        ring, ok = features.ring_from_elevation(p, 32)
+        assert bool(ok[0])
+        assert int(ring[0]) == 23
+
+    def test_deskew_identity(self):
+        pts = jnp.asarray(RNG.normal(size=(100, 3)), jnp.float32)
+        ident = jnp.array([1.0, 0, 0, 0])
+        out = features.deskew(pts, jnp.linspace(0, 1, 100), ident, ident)
+        np.testing.assert_allclose(out, pts, atol=1e-6)
+
+
+class TestLidarFactors:
+    def test_plane_norm_zero_on_plane(self):
+        # Point lying on the plane after transform → zero residual.
+        q = quat.normalize(jnp.asarray(RNG.normal(size=(4,))))
+        t = jnp.asarray(RNG.normal(size=(3,)))
+        q_lb = quat.normalize(jnp.asarray(RNG.normal(size=(4,))))
+        t_lb = jnp.asarray(RNG.normal(size=(3,)))
+        n = jnp.array([0.0, 0.0, 1.0])
+        d = -2.0  # plane z=2
+        # Choose world point on plane, map back to lidar frame.
+        p_w = jnp.array([0.3, -0.5, 2.0])
+        p_b = quat.rotate(quat.conj(q), p_w - t)
+        p_l = quat.rotate(q_lb, p_b) + t_lb
+        r = lidar_factors.plane_norm_residual(
+            p_l[None], n[None], jnp.array([d]), jnp.array([7.5]),
+            t, q, q_lb, t_lb, jnp.array([True]))
+        np.testing.assert_allclose(r, 0.0, atol=1e-9)
+
+    def test_binary_plane_zero_when_consistent(self):
+        q1 = quat.normalize(jnp.asarray(RNG.normal(size=(4,))))
+        t1 = jnp.asarray(RNG.normal(size=(3,)))
+        q2 = quat.normalize(jnp.asarray(RNG.normal(size=(4,))))
+        t2 = jnp.asarray(RNG.normal(size=(3,)))
+        # World plane through c_w with normal n_w; expressed in frame 2.
+        n_w = jnp.array([0.0, 1.0, 0.0])
+        c_w = jnp.array([1.0, 2.0, 3.0])
+        n2 = quat.rotate(quat.conj(q2), n_w)
+        c2 = quat.rotate(quat.conj(q2), c_w - t2)
+        # Point on the plane, in body frame 1.
+        p_w = c_w + jnp.array([0.7, 0.0, -0.4])
+        p1 = quat.rotate(quat.conj(q1), p_w - t1)
+        r = lidar_factors.binary_plane_residual(
+            p1[None], n2[None], c2[None], jnp.array([1.0]),
+            t1, q1, t2, q2, jnp.array([True]))
+        np.testing.assert_allclose(r, 0.0, atol=1e-9)
+
+    def test_edge_residual_is_point_line_distance(self):
+        ident = jnp.array([1.0, 0, 0, 0])
+        z3 = jnp.zeros(3)
+        a = jnp.array([0.0, 0.0, 0.0])
+        b = jnp.array([1.0, 0.0, 0.0])
+        p = jnp.array([[0.5, 2.0, 0.0]])
+        r = lidar_factors.edge_residual(
+            p, a[None], b[None], jnp.array([1.0]), z3, ident, ident, z3,
+            jnp.array([True]))
+        np.testing.assert_allclose(r, 2.0, atol=1e-6)
+
+    def test_relative_attitude_zero_at_truth(self):
+        qi = quat.normalize(jnp.asarray(RNG.normal(size=(1, 4))))
+        qj = quat.normalize(jnp.asarray(RNG.normal(size=(1, 4))))
+        dq = quat.mul(quat.conj(qi), qj)
+        r = lidar_factors.relative_attitude_residual(
+            qi, qj, dq, jnp.array([10000.0]), jnp.array([True]))
+        np.testing.assert_allclose(r, 0.0, atol=1e-8)
+
+
+class TestPoseFactors:
+    def test_relative_pose_zero_at_truth(self):
+        q1 = quat.normalize(jnp.asarray(RNG.normal(size=(1, 4))))
+        q2 = quat.normalize(jnp.asarray(RNG.normal(size=(1, 4))))
+        p1 = jnp.asarray(RNG.normal(size=(1, 3)))
+        p2 = jnp.asarray(RNG.normal(size=(1, 3)))
+        dq = quat.mul(quat.conj(q1), q2)
+        dp = quat.rotate(quat.conj(q1), p2 - p1)
+        r = pose_factors.relative_pose_residual(
+            p1, q1, p2, q2, dp, dq, jnp.array([10.0]), jnp.array([20.0]),
+            jnp.array([True]))
+        np.testing.assert_allclose(r, 0.0, atol=1e-9)
+
+    def test_speed_bias_prior_weights(self):
+        v = jnp.ones((1, 3))
+        z = jnp.zeros((1, 3))
+        r = pose_factors.speed_bias_prior_residual(v, z, z, z, z, z)
+        np.testing.assert_allclose(r[0, :3], [8.0, 8.0, 1.0])

@@ -1,0 +1,78 @@
+"""End-to-end sliding-window estimator tests on simulated episodes.
+
+The reference validates only by full-bag replay + visual inspection
+(SURVEY.md §4); here the replay itself is the test, with exact ground truth
+from the integrator-consistent simulator.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glio_tpu.config import GlioConfig, ShapeConfig, EstimatorConfig
+from glio_tpu.data.simulator import simulate_episode
+from glio_tpu.models.sliding_window import make_replay
+
+CFG = GlioConfig().replace(
+    shapes=ShapeConfig(max_imu_per_interval=40, scan_points=512,
+                       map_points=4096),
+    estimator=EstimatorConfig(local_map_width=8, sw_max_iter=8),
+)
+
+
+@pytest.fixture(scope="module")
+def replay_fn():
+    return make_replay(CFG)[0]
+
+
+def _run(replay, ep):
+    out = replay(ep.to_inputs(), ep.p0, ep.q0, ep.v0, ep.acc0, ep.gyr0)
+    return np.asarray(out.p), out
+
+
+def test_imu_only_noise_free_is_exact(replay_fn):
+    """Integrator consistency: pure IMU propagation reproduces truth."""
+    ep = simulate_episode(n_keyframes=8, scan_points=512, seed=3,
+                          imu_noise=False, accel_bias=(0, 0, 0),
+                          gyro_bias=(0, 0, 0))
+    ep.scan_valid[:] = False
+    p, _ = _run(replay_fn, ep)
+    err = np.linalg.norm(p - ep.gt_p, axis=-1)
+    assert err.max() < 1e-9
+
+
+def test_perfect_data_stays_bounded(replay_fn):
+    ep = simulate_episode(n_keyframes=12, scan_points=512, seed=3,
+                          imu_noise=False, accel_bias=(0, 0, 0),
+                          gyro_bias=(0, 0, 0), scan_noise=0.0)
+    p, out = _run(replay_fn, ep)
+    err = np.linalg.norm(p - ep.gt_p, axis=-1)
+    assert err.max() < 0.1, err
+    # Lidar association must actually engage.
+    assert int(np.asarray(out.n_lidar_factors)[-1]) > 50
+
+
+def test_noisy_biased_tracks(replay_fn):
+    ep = simulate_episode(n_keyframes=15, scan_points=512, seed=4)
+    p, out = _run(replay_fn, ep)
+    err = np.linalg.norm(p - ep.gt_p, axis=-1)
+    # Odometric drift bound: well under 2% of ~25 m path at this length.
+    assert err.max() < 1.0, err
+
+
+def test_replay_is_deterministic(replay_fn):
+    ep = simulate_episode(n_keyframes=8, scan_points=512, seed=5)
+    p1, _ = _run(replay_fn, ep)
+    p2, _ = _run(replay_fn, ep)
+    np.testing.assert_array_equal(p1, p2)
+
+
+def test_episode_save_load_roundtrip(tmp_path):
+    ep = simulate_episode(n_keyframes=6, scan_points=128, seed=6)
+    path = str(tmp_path / "ep.npz")
+    ep.save(path)
+    from glio_tpu.data.episode import Episode
+    ep2 = Episode.load(path)
+    np.testing.assert_array_equal(ep2.scan, ep.scan)
+    np.testing.assert_array_equal(ep2.imu_acc, ep.imu_acc)
+    np.testing.assert_array_equal(ep2.gt_p, ep.gt_p)

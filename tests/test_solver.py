@@ -1,0 +1,128 @@
+"""Tests for the dense manifold LM/dogleg engine and marginalization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from glio_tpu.solver import dense, marginalization
+from glio_tpu.solver.manifold import WindowState, retract, local_coordinates, POSE_DOF
+from glio_tpu.utils import quat
+
+
+def _rosenbrock_problem():
+    def residual(x):
+        return jnp.stack([10.0 * (x[1] - x[0] ** 2), 1.0 - x[0]])
+
+    def retract_fn(x, d):
+        return x + d
+
+    return residual, retract_fn, jnp.array([-1.2, 1.0])
+
+
+def test_lm_rosenbrock():
+    res, ret, x0 = _rosenbrock_problem()
+    out = dense.lm_solve(res, ret, x0, 2, max_iters=60)
+    np.testing.assert_allclose(out.x, [1.0, 1.0], atol=1e-6)
+    assert out.cost < 1e-12
+
+
+def test_dogleg_rosenbrock():
+    res, ret, x0 = _rosenbrock_problem()
+    out = dense.dogleg_solve(res, ret, x0, 2, max_iters=60)
+    np.testing.assert_allclose(out.x, [1.0, 1.0], atol=1e-6)
+
+
+def test_lm_jits():
+    res, ret, x0 = _rosenbrock_problem()
+    f = jax.jit(lambda x: dense.lm_solve(res, ret, x, 2, max_iters=60).x)
+    np.testing.assert_allclose(f(x0), [1.0, 1.0], atol=1e-5)
+
+
+def test_pose_graph_on_manifold():
+    """3-keyframe chain: prior on kf0 + relative pose measurements recover
+    ground-truth poses from a perturbed start."""
+    rng = np.random.default_rng(3)
+    K = 3
+    p_true = jnp.asarray(rng.normal(size=(K, 3)))
+    q_true = quat.normalize(jnp.asarray(rng.normal(size=(K, 4))))
+
+    dp = quat.rotate(quat.conj(q_true[:-1]), p_true[1:] - p_true[:-1])
+    dq = quat.mul(quat.conj(q_true[:-1]), q_true[1:])
+
+    def residual(state):
+        r_prior = jnp.concatenate([
+            state.p[0] - p_true[0],
+            quat.log(quat.mul(quat.conj(q_true[0]), state.q[0])),
+        ])
+        rel_p = quat.rotate(quat.conj(state.q[:-1]), state.p[1:] - state.p[:-1]) - dp
+        rel_q = quat.mul(quat.conj(dq), quat.mul(quat.conj(state.q[:-1]), state.q[1:]))[:, 1:]
+        return jnp.concatenate([r_prior, rel_p.ravel(), 2.0 * rel_q.ravel()])
+
+    x0 = WindowState.identity(K)
+    out = dense.lm_solve(residual, retract, x0, K * POSE_DOF, max_iters=25)
+    np.testing.assert_allclose(out.x.p, p_true, atol=1e-8)
+    err = quat.mul(quat.conj(out.x.q), q_true)
+    np.testing.assert_allclose(np.abs(np.asarray(err[:, 0])), 1.0, atol=1e-10)
+
+
+def test_local_coordinates_inverse_of_retract():
+    rng = np.random.default_rng(5)
+    K = 4
+    ref = WindowState(
+        p=jnp.asarray(rng.normal(size=(K, 3))),
+        q=quat.normalize(jnp.asarray(rng.normal(size=(K, 4)))),
+        v=jnp.asarray(rng.normal(size=(K, 3))),
+        ba=jnp.asarray(rng.normal(size=(K, 3)) * 0.01),
+        bg=jnp.asarray(rng.normal(size=(K, 3)) * 0.01),
+    )
+    delta = jnp.asarray(rng.normal(size=(K * POSE_DOF,)) * 0.1)
+    x = retract(ref, delta)
+    np.testing.assert_allclose(local_coordinates(x, ref), delta, atol=1e-10)
+
+
+class TestMarginalization:
+    def _toy_system(self, n_drop=2, n_keep=3, seed=0):
+        rng = np.random.default_rng(seed)
+        n = n_drop + n_keep
+        J = rng.normal(size=(3 * n, n))
+        r = rng.normal(size=(3 * n,))
+        H = J.T @ J
+        b = J.T @ r
+        return jnp.asarray(H), jnp.asarray(b), n_drop
+
+    def test_schur_matches_direct(self):
+        H, b, nd = self._toy_system()
+        prior = marginalization.marginalize(H, b, nd)
+        Hs = np.asarray(prior.sqrt_jac).T @ np.asarray(prior.sqrt_jac)
+        bs = np.asarray(prior.sqrt_jac).T @ np.asarray(prior.sqrt_res)
+        Hnp, bnp = np.asarray(H), np.asarray(b)
+        Hmm_inv = np.linalg.inv(Hnp[:nd, :nd])
+        H_expect = Hnp[nd:, nd:] - Hnp[nd:, :nd] @ Hmm_inv @ Hnp[:nd, nd:]
+        b_expect = bnp[nd:] - Hnp[nd:, :nd] @ Hmm_inv @ bnp[:nd]
+        np.testing.assert_allclose(Hs, H_expect, atol=1e-8)
+        np.testing.assert_allclose(bs, b_expect, atol=1e-8)
+
+    def test_rank_deficient_clipping(self):
+        # A singular dropped block must not blow up (eigen clipping).
+        n = 5
+        H = jnp.zeros((n, n)).at[2:, 2:].set(jnp.eye(3))
+        b = jnp.ones((n,))
+        prior = marginalization.marginalize(H, b, 2)
+        assert np.all(np.isfinite(np.asarray(prior.sqrt_jac)))
+        assert np.all(np.isfinite(np.asarray(prior.sqrt_res)))
+
+    def test_equivalence_to_full_solve(self):
+        """Solving keep-block with the prior == solving the full system and
+        reading the keep block (for a linear-Gaussian problem)."""
+        H, b, nd = self._toy_system(seed=7)
+        n = H.shape[0]
+        x_full = np.linalg.solve(np.asarray(H), -np.asarray(b))
+        prior = marginalization.marginalize(H, b, nd)
+        S, r0 = np.asarray(prior.sqrt_jac), np.asarray(prior.sqrt_res)
+        x_keep = np.linalg.lstsq(S, -r0, rcond=None)[0]
+        np.testing.assert_allclose(x_keep, x_full[nd:], atol=1e-7)
+
+    def test_prior_residual_masked_until_valid(self):
+        prior = marginalization.identity_prior(6)
+        r = marginalization.prior_residual(prior, jnp.ones(6))
+        np.testing.assert_allclose(r, 0.0)
