@@ -27,18 +27,23 @@ import numpy as np
 
 @dataclasses.dataclass
 class GnssEpochs:
-    """DD pseudorange/Doppler epochs (see glio_tpu.gnss.dd for semantics)."""
+    """Tensorized GNSS epochs — the framework's replacement for the
+    ``GNSS_Raw_Array`` wire format (nlosExclusion/msg/GNSS_Raw.msg):
+    satellite states are baked in by the converter so the device never
+    touches ephemerides (SURVEY.md §7 item 1)."""
     time: np.ndarray            # (E,) epoch times (GPS seconds as unix)
-    sat_pos: np.ndarray         # (E, MAX_SV, 3) ECEF satellite positions
+    sat_pos: np.ndarray         # (E, MAX_SV, 3) ECEF sat pos (tx frame)
     sat_vel: np.ndarray         # (E, MAX_SV, 3)
-    psr_rov: np.ndarray         # (E, MAX_SV) corrected rover pseudoranges
-    psr_sta: np.ndarray         # (E, MAX_SV) corrected station pseudoranges
-    dopp_rov: np.ndarray        # (E, MAX_SV) rover doppler (m/s, range-rate)
+    sat_ddt: np.ndarray         # (E, MAX_SV) sat clock drift (m/s)
+    psr_rov: np.ndarray         # (E, MAX_SV) RAW rover pseudoranges (m)
+    psr_sta: np.ndarray         # (E, MAX_SV) RAW station pseudoranges (m)
+    psr_rov_corr: np.ndarray    # (E, MAX_SV) corrected rover psr (SPP use)
+    dopp_rov: np.ndarray        # (E, MAX_SV) range-rate (m/s) = −doppler·λ
     elevation: np.ndarray       # (E, MAX_SV) radians
-    snr: np.ndarray             # (E, MAX_SV)
+    snr: np.ndarray             # (E, MAX_SV) dB-Hz
     valid: np.ndarray           # (E, MAX_SV) bool
-    master: np.ndarray          # (E,) int32 master satellite slot per epoch
-    system: np.ndarray          # (E, MAX_SV) int8 constellation id
+    system: np.ndarray          # (E, MAX_SV) int8 constellation id (0..3)
+    master: np.ndarray          # (E, 4) int32 master slot per system (−1 none)
 
 
 @dataclasses.dataclass

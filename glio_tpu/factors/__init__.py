@@ -1,1 +1,1 @@
-from . import imu, lidar, pose  # noqa: F401
+from . import gnss, imu, lidar, pose  # noqa: F401

@@ -1,0 +1,175 @@
+"""Offline converter: RINEX files → tensorized GNSS epochs.
+
+This replaces the entire runtime role of the reference's GNSS stack
+(``gnss_preprocessor_node`` + forked RTKLIB, SURVEY.md §2.2 #16-20): the
+RINEX set is crunched once into fixed-shape arrays with satellite states,
+corrections, and DD pairing baked in, and the estimators replay them
+deterministically.  All satellite-state math is evaluated in one
+vectorized batch (``ephemeris.tx_state_batch``), not per-satellite loops.
+
+Station handling: the reference decodes a physical base-station RINEX
+(``hksc1410.21o``) which is not redistributed in-repo.  When a station
+file is available it is processed identically to the rover; otherwise
+``synthesize_station=True`` builds physically-exact station observations
+from the known station ECEF (config ``station_x_/y_/z_``): geometric
+range − c·dt_sv + iono + tropo — exactly what double differencing assumes
+of a noise-free base receiver.
+"""
+
+from dataclasses import dataclass
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..data.episode import GnssEpochs
+from ..utils import coords as C
+from . import atmosphere, dd
+from .ephemeris import CLIGHT, stack_ephs, tx_state_batch
+from .rinex import SYS_BDS, SYS_CHAR, parse_nav, parse_obs, select_eph
+
+FREQ_L1 = 1.57542e9
+FREQ_B1 = 1.561098e9
+FREQ_E1 = 1.57542e9
+FREQ_G1 = 1.60200e9
+LAMBDA = {0: CLIGHT / FREQ_L1, 1: CLIGHT / FREQ_G1,
+          2: CLIGHT / FREQ_E1, 3: CLIGHT / FREQ_B1}
+
+
+@dataclass
+class ConvertOptions:
+    max_sv: int = 32
+    elevation_mask_deg: float = 15.0   # gnss_preprocessor.cpp:83 / pntpos
+    snr_mask: float = 15.0
+    systems: str = "GC"                # UrbanNav u-blox GC files
+    synthesize_station: bool = True
+    max_epochs: Optional[int] = None
+
+
+def _azel_np(rcv_ecef, sat_pos):
+    """Vectorized az/el without jax round-trips (host hot path)."""
+    llh = np.asarray(C.ecef2llh(np.asarray(rcv_ecef)))
+    R = np.asarray(C.ecef2enu_rotmat(llh))
+    d = sat_pos - np.asarray(rcv_ecef)
+    enu = d @ R.T
+    az = np.arctan2(enu[:, 0], enu[:, 1])
+    el = np.arctan2(enu[:, 2], np.linalg.norm(enu[:, :2], axis=-1))
+    return az, el
+
+
+def convert(rover_obs_path: str, nav_path: str,
+            station_ecef: np.ndarray,
+            station_obs_path: Optional[str] = None,
+            opts: ConvertOptions = ConvertOptions()) -> GnssEpochs:
+    """Decode + correct + tensorize a GNSS sequence."""
+    obs = parse_obs(rover_obs_path, systems=opts.systems)
+    if opts.max_epochs:
+        obs.epochs = obs.epochs[: opts.max_epochs]
+    nav = parse_nav(nav_path)
+    sta_by_time: Dict[float, dict] = {}
+    if station_obs_path:
+        for ep in parse_obs(station_obs_path, systems=opts.systems).epochs:
+            sta_by_time[round(ep.time, 2)] = dict(zip(ep.sats, ep.psr))
+
+    station_ecef = np.asarray(station_ecef, float)
+    approx = obs.approx_pos if obs.approx_pos is not None else station_ecef
+
+    # ---- pass 1: flatten (epoch, sat) records with ephemeris picks ----
+    ep_idx, ephs, psr, dopp, snr, sats = [], [], [], [], [], []
+    t_rx = []
+    for k, ep in enumerate(obs.epochs):
+        for j, sat in enumerate(ep.sats):
+            cand = nav.get(sat)
+            if not cand:
+                continue
+            e = select_eph(cand, ep.time)
+            if e is None or e.health != 0:
+                continue
+            ep_idx.append(k)
+            ephs.append(e)
+            psr.append(ep.psr[j])
+            dopp.append(ep.doppler[j])
+            snr.append(ep.snr[j])
+            sats.append(sat)
+            t_rx.append(ep.time)
+
+    ep_idx = np.array(ep_idx, np.int64)
+    psr = np.array(psr)
+    dopp = np.array(dopp)
+    snr = np.array(snr)
+    t_rx = np.array(t_rx)
+    sysid = np.array([SYS_CHAR[s[0]] for s in sats], np.int8)
+
+    # ---- batch satellite states ----
+    P = stack_ephs(ephs)
+    pos, vel, clk, ddt = tx_state_batch(P, t_rx, psr)
+    tgd = P["tgd"] * CLIGHT
+
+    # ---- geometry + masks ----
+    az, el = _azel_np(approx, pos)
+    keep = (el > np.deg2rad(opts.elevation_mask_deg)) & (snr >= opts.snr_mask)
+
+    # ---- atmosphere (rover + station) ----
+    rcv_llh = np.asarray(C.ecef2llh(approx))
+    sta_llh = np.asarray(C.ecef2llh(station_ecef))
+    _, tow = C.unix2gpst(t_rx)
+    tow = np.asarray(tow)
+    iono = atmosphere.klobuchar(tow, rcv_llh[0], rcv_llh[1], az, el)
+    f_scale = np.where(sysid == SYS_BDS, (FREQ_L1 / FREQ_B1) ** 2, 1.0)
+    iono = iono * f_scale
+    tropo = atmosphere.saastamoinen(rcv_llh[0], rcv_llh[2], el)
+
+    az_s, el_s = _azel_np(station_ecef, pos)
+    iono_s = atmosphere.klobuchar(tow, sta_llh[0], sta_llh[1], az_s, el_s) * f_scale
+    tropo_s = atmosphere.saastamoinen(sta_llh[0], sta_llh[2], el_s)
+    rho_s = np.linalg.norm(pos - station_ecef, axis=-1)
+    psr_sta_synth = rho_s - clk * CLIGHT + tgd + iono_s + tropo_s
+
+    # ---- scatter into fixed-shape epoch tensors ----
+    E = len(obs.epochs)
+    M = opts.max_sv
+    g = GnssEpochs(
+        time=np.array([ep.time for ep in obs.epochs]),
+        sat_pos=np.zeros((E, M, 3)), sat_vel=np.zeros((E, M, 3)),
+        sat_ddt=np.zeros((E, M)),
+        psr_rov=np.zeros((E, M)), psr_sta=np.zeros((E, M)),
+        psr_rov_corr=np.zeros((E, M)), dopp_rov=np.zeros((E, M)),
+        elevation=np.zeros((E, M)), snr=np.zeros((E, M)),
+        valid=np.zeros((E, M), bool),
+        system=np.zeros((E, M), np.int8),
+        master=np.full((E, 4), -1, np.int32),
+    )
+    slot_used = np.zeros(E, np.int32)
+    lam = np.array([LAMBDA[int(s)] for s in sysid])
+    psr_corr = psr + clk * CLIGHT - tgd - iono - tropo
+
+    for r in range(len(ep_idx)):
+        if not keep[r]:
+            continue
+        k = int(ep_idx[r])
+        s = slot_used[k]
+        if s >= M:
+            continue
+        slot_used[k] = s + 1
+        g.sat_pos[k, s] = pos[r]
+        g.sat_vel[k, s] = vel[r]
+        g.sat_ddt[k, s] = ddt[r] * CLIGHT
+        g.psr_rov[k, s] = psr[r]
+        g.psr_rov_corr[k, s] = psr_corr[r]
+        g.dopp_rov[k, s] = -dopp[r] * lam[r]
+        g.elevation[k, s] = el[r]
+        g.snr[k, s] = snr[r]
+        g.system[k, s] = sysid[r]
+        sta_real = sta_by_time.get(round(t_rx[r], 2)) if sta_by_time else None
+        if sta_real is not None and sats[r] in sta_real:
+            g.psr_sta[k, s] = sta_real[sats[r]]
+            g.valid[k, s] = True
+        elif opts.synthesize_station:
+            g.psr_sta[k, s] = psr_sta_synth[r]
+            g.valid[k, s] = True
+        else:
+            g.psr_sta[k, s] = np.nan
+            g.valid[k, s] = True
+
+    for k in range(E):
+        g.master[k] = dd.select_master(g.elevation[k], g.valid[k], g.system[k])
+    return g

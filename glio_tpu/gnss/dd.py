@@ -1,0 +1,103 @@
+"""Double-difference measurement formation and whitening.
+
+Reproduces the estimator's per-epoch DD preparation
+(``Estimator.cpp:3199-3271`` and ``prepareGPSDDPsrData``-family): per
+constellation, pick the highest-elevation satellite as master, and whiten
+the (n−1) DD residual block with R = ((D W⁻¹ Dᵀ)∘½)⁻¹ where D is the
+difference operator and W the goGPS elevation/SNR weight matrix
+(``cofactorMatrixCal_WLS``, gnss_tools.h:1177-1226).
+
+NOTE (faithful quirk): the reference takes the *element-wise* square root
+of D W⁻¹ Dᵀ before inverting (``cwiseSqrt``), not a matrix square root —
+we reproduce that exactly so whitened residuals match.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from .spp import elesnr_var
+
+
+def select_master(elevation, valid, system, n_sys: int = 4):
+    """Highest-elevation valid satellite per constellation → (n_sys,) slots,
+    −1 where a system has < 3 usable satellites (reference requires > 2,
+    Estimator.cpp:3202)."""
+    elevation = np.asarray(elevation)
+    valid = np.asarray(valid)
+    system = np.asarray(system)
+    out = np.full(n_sys, -1, np.int32)
+    for s in range(n_sys):
+        m = valid & (system == s)
+        if m.sum() < 3:
+            continue
+        el = np.where(m, elevation, -np.inf)
+        out[s] = int(np.argmax(el))
+    return out
+
+
+def dd_whitening_matrix(elevation, snr, valid, system, master, max_sv: int):
+    """Per-system DD whitening matrices, dense over the padded slots.
+
+    Returns (n_sys, max_sv, max_sv) W such that the whitened DD residual is
+    W[s] @ r_s, where r_s[i] is the DD residual of slot i vs the system-s
+    master (zero for masked slots). Host-side numpy (small).
+    """
+    elevation = np.asarray(elevation)
+    snr = np.asarray(snr)
+    valid = np.asarray(valid)
+    system = np.asarray(system)
+    n_sys = master.shape[0]
+    out = np.zeros((n_sys, max_sv, max_sv))
+    for s in range(n_sys):
+        mp = int(master[s])
+        if mp < 0:
+            continue
+        slots = [i for i in range(max_sv)
+                 if valid[i] and system[i] == s and i != mp]
+        if not slots:
+            continue
+        n = len(slots)
+        # W⁻¹ = diag of variances for [slots..., master] (master last).
+        var = np.array([float(elesnr_var(elevation[i], snr[i]))
+                        for i in slots + [mp]])
+        D = np.zeros((n, n + 1))
+        D[:, :n] = np.eye(n)
+        D[:, n] = -1.0
+        cov = D @ np.diag(var) @ D.T
+        R = np.linalg.inv(np.sqrt(cov))  # element-wise sqrt, then inverse
+        out[s][np.ix_(slots, slots)] = R
+    return out
+
+
+def dd_residual(p_ecef, sat_pos, psr_rov, psr_sta, station_pos,
+                valid, system, master_slots, whiten, threshold=1e9):
+    """Whitened DD pseudorange residuals for one epoch (jit-friendly).
+
+    Mirrors ``dd_psr_factor_20::Evaluate`` (dd_psr_factor.hpp:25-171):
+      DD_est = (|s_i − p| − |s_i − sta|) − (|s_m − p| − |s_m − sta|)
+      DD_meas = (P_u,i − P_r,i) − (P_u,m − P_r,m)
+      r_i = DD_est − DD_meas, down-weighted ×0.05 beyond `threshold`,
+      whitened by the per-system R matrix.
+
+    Args are padded slot tensors (MAX_SV); returns (n_sys, MAX_SV).
+    """
+    rho_u = jnp.linalg.norm(sat_pos - p_ecef, axis=-1)        # (M,)
+    rho_r = jnp.linalg.norm(sat_pos - station_pos, axis=-1)
+    sd_est = rho_u - rho_r
+    sd_meas = psr_rov - psr_sta
+
+    n_sys = master_slots.shape[0]
+    res = []
+    for s in range(n_sys):
+        mp = master_slots[s]
+        has = mp >= 0
+        mp_safe = jnp.maximum(mp, 0)
+        dd_est = sd_est - sd_est[mp_safe]
+        dd_meas = sd_meas - sd_meas[mp_safe]
+        r = dd_est - dd_meas
+        m = valid & (system == s) & (jnp.arange(r.shape[0]) != mp_safe) & has
+        r = jnp.where(m, r, 0.0)
+        # Annealed outlier down-weighting (dd_psr_factor.hpp:100-102).
+        r = jnp.where(jnp.abs(r) > threshold, 0.05 * r, r)
+        res.append(whiten[s] @ r)
+    return jnp.stack(res)

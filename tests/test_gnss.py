@@ -1,0 +1,197 @@
+"""GNSS stack tests: RINEX decode, ephemeris, SPP on real UrbanNav data,
+DD formation and factors.
+
+The real Whampoa RINEX files shipped with the reference
+(`GraphGNSSLibV1.1/global_fusion/dataset/`) serve as fixtures; SPP
+solutions are validated against the golden trajectory's bounding box
+(`/root/reference/result/tc_sw_result.csv`).
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glio_tpu.factors import gnss as gnss_factors
+from glio_tpu.gnss import converter, dd, ephemeris, rinex, spp
+from glio_tpu.utils import coords as C
+
+DATA = "/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/urbannavWhampoa"
+OBS = f"{DATA}/20210521.medium-urban.whampoa.ublox.m8t.GC.obs"
+NAV = f"{DATA}/hksc141g.nav"
+STATION = np.array([-2414266.9200, 5386768.9870, 2407460.0310])
+have_data = os.path.exists(OBS)
+
+pytestmark = pytest.mark.skipif(not have_data, reason="reference dataset absent")
+
+
+@pytest.fixture(scope="module")
+def epochs():
+    return converter.convert(
+        OBS, NAV, station_ecef=STATION,
+        opts=converter.ConvertOptions(max_epochs=60))
+
+
+class TestRinex:
+    def test_obs_header_and_first_epoch(self):
+        obs = rinex.parse_obs(OBS)
+        np.testing.assert_allclose(
+            obs.approx_pos, [-2418136.8695, 5385860.7891, 2405565.9777])
+        ep = obs.epochs[0]
+        # First epoch 2021-05-21 06:29:06.001 GPS; G14 psr 20618900.381.
+        week, tow = rinex.civil2gps(2021, 5, 21, 6, 29, 6.001)
+        assert week == 2158
+        np.testing.assert_allclose(tow, 455346.001, atol=1e-6)
+        i = ep.sats.index("G14")
+        np.testing.assert_allclose(ep.psr[i], 20618900.381)
+        np.testing.assert_allclose(ep.doppler[i], -1252.533)
+        np.testing.assert_allclose(ep.snr[i], 24.0)
+
+    def test_nav_fields(self):
+        nav = rinex.parse_nav(NAV)
+        e = nav["C01"][0]
+        np.testing.assert_allclose(e.af0, -0.447334023193e-03)
+        np.testing.assert_allclose(e.sqrt_a, 0.649353140831e04)
+        np.testing.assert_allclose(e.toes, 450000.0)      # native BDT sow
+        assert e.week == 802 + rinex.BDS_WEEK_OFFSET
+
+    def test_gps_week_consistency(self):
+        nav = rinex.parse_nav(NAV)
+        for sat, ephs in nav.items():
+            if sat.startswith("G"):
+                assert ephs[0].week == 2158
+                break
+
+
+class TestEphemeris:
+    def test_orbit_radii(self):
+        nav = rinex.parse_nav(NAV)
+        t = 315964800.0 + 2158 * 604800.0 + 455400.0
+        for sat, lo, hi in [("G14", 2.60e7, 2.67e7), ("C11", 2.76e7, 2.82e7),
+                            ("C01", 4.21e7, 4.22e7)]:
+            if sat not in nav:
+                continue
+            e = rinex.select_eph(nav[sat], t)
+            pos, _, _, _ = ephemeris.tx_time_sat_state(e, t, 2.2e7)
+            r = np.linalg.norm(pos)
+            assert lo < r < hi, (sat, r)
+
+    def test_batch_matches_scalar(self):
+        nav = rinex.parse_nav(NAV)
+        ephs = [nav["G14"][0], nav["C11"][0], nav["C01"][0]]
+        P = ephemeris.stack_ephs(ephs)
+        t = np.full(3, 315964800.0 + 2158 * 604800.0 + 455400.0)
+        psr = np.array([2.06e7, 2.35e7, 3.69e7])
+        pos_b, vel_b, clk_b, ddt_b = ephemeris.tx_state_batch(P, t, psr)
+        for k, e in enumerate(ephs):
+            pos_s, vel_s, clk_s, _ = ephemeris.tx_time_sat_state(e, t[k], psr[k])
+            np.testing.assert_allclose(pos_b[k], pos_s, atol=1e-6)
+            np.testing.assert_allclose(vel_b[k], vel_s, atol=1e-4)
+            np.testing.assert_allclose(clk_b[k], clk_s, atol=1e-15)
+
+
+class TestSPP:
+    def test_positions_match_golden_area(self, epochs):
+        g = epochs
+        x0 = jnp.asarray([-2418136.8695, 5385860.7891, 2405565.9777])
+        pos, clk, ok, rms = spp.solve_epochs(
+            jnp.asarray(g.sat_pos), jnp.asarray(g.psr_rov_corr),
+            jnp.asarray(g.system), jnp.asarray(g.valid),
+            jnp.asarray(g.elevation), jnp.asarray(g.snr), x0)
+        okn = np.asarray(ok)
+        assert okn.sum() >= 55
+        llh = np.asarray(C.ecef2llh(pos))[okn]
+        lat, lon = np.rad2deg(llh[:, 0]), np.rad2deg(llh[:, 1])
+        # Golden trajectory start: 22.30155, 114.19031 — static at start.
+        assert np.all(np.abs(lat - 22.3016) < 0.002)
+        assert np.all(np.abs(lon - 114.1903) < 0.002)
+        assert np.median(np.asarray(rms)[okn]) < 20.0
+
+    def test_gps_bds_agree(self, epochs):
+        g = epochs
+        x0 = jnp.asarray([-2418136.8695, 5385860.7891, 2405565.9777])
+        sols = []
+        for sysid in (0, 3):
+            v = jnp.asarray(g.valid & (g.system == sysid))
+            pos, _, ok, _ = spp.solve_epochs(
+                jnp.asarray(g.sat_pos), jnp.asarray(g.psr_rov_corr),
+                jnp.asarray(g.system), v,
+                jnp.asarray(g.elevation), jnp.asarray(g.snr), x0)
+            sols.append(np.asarray(pos)[np.asarray(ok)].mean(0))
+        # Constellations must agree to tens of metres (no frame bias).
+        assert np.linalg.norm(sols[0] - sols[1]) < 60.0
+
+
+class TestDD:
+    def test_master_selection(self):
+        el = np.array([0.3, 0.9, 0.5, 0.8, 0.2, 0.0])
+        valid = np.array([1, 1, 1, 1, 1, 0], bool)
+        system = np.array([0, 0, 0, 3, 3, 3])
+        m = dd.select_master(el, valid, system)
+        assert m[0] == 1       # highest-elevation GPS
+        assert m[3] == -1      # only 2 valid BDS sats → needs > 2
+        assert m[1] == -1 and m[2] == -1
+
+    def test_dd_residual_zero_at_truth(self, epochs):
+        """With a synthesized (noise-free) station and the rover at the SPP
+        solution, DD residuals should be small (bounded by rover noise)."""
+        g = epochs
+        k = 0
+        x0 = jnp.asarray([-2418136.8695, 5385860.7891, 2405565.9777])
+        pos, _, ok, _ = spp.solve_epoch(
+            jnp.asarray(g.sat_pos[k]), jnp.asarray(g.psr_rov_corr[k]),
+            jnp.asarray(g.system[k]), jnp.asarray(g.valid[k]),
+            jnp.asarray(g.elevation[k]), jnp.asarray(g.snr[k]), x0)
+        W = dd.dd_whitening_matrix(
+            g.elevation[k], g.snr[k], g.valid[k], g.system[k],
+            g.master[k], g.sat_pos.shape[1])
+        r = dd.dd_residual(
+            pos, jnp.asarray(g.sat_pos[k]), jnp.asarray(g.psr_rov[k]),
+            jnp.asarray(g.psr_sta[k]), jnp.asarray(STATION),
+            jnp.asarray(g.valid[k]), jnp.asarray(g.system[k]),
+            jnp.asarray(g.master[k]), jnp.asarray(W))
+        r = np.asarray(r)
+        assert np.isfinite(r).all()
+        # Whitened residuals at the SPP fix: noise-level, not km-level.
+        assert np.abs(r).max() < 50.0
+        assert np.abs(r).max() > 0.0   # actually engaged
+
+    def test_dd_factor_sensitivity(self, epochs):
+        """Moving the local pose moves the DD residual (nonzero Jacobian)."""
+        import jax
+        g = epochs
+        k = 0
+        anchor = jnp.asarray(STATION * 1.0)
+        W = jnp.asarray(dd.dd_whitening_matrix(
+            g.elevation[k], g.snr[k], g.valid[k], g.system[k],
+            g.master[k], g.sat_pos.shape[1]))
+
+        def f(p):
+            r = gnss_factors.dd_psr_residual(
+                p, p, 0.5, anchor, jnp.asarray(0.0), jnp.asarray(STATION),
+                jnp.asarray(g.sat_pos[k]), jnp.asarray(g.psr_rov[k]),
+                jnp.asarray(g.psr_sta[k]), jnp.asarray(g.valid[k]),
+                jnp.asarray(g.system[k]), jnp.asarray(g.master[k]), W)
+            return jnp.sum(r * r)
+
+        grad = jax.grad(f)(jnp.zeros(3))
+        assert np.linalg.norm(np.asarray(grad)) > 0
+
+
+class TestDoppler:
+    def test_doppler_velocity_near_zero_at_static_start(self, epochs):
+        """The sequence starts static: doppler velocity ≈ 0."""
+        g = epochs
+        k = 0
+        x0 = jnp.asarray([-2418136.8695, 5385860.7891, 2405565.9777])
+        pos, _, ok, _ = spp.solve_epoch(
+            jnp.asarray(g.sat_pos[k]), jnp.asarray(g.psr_rov_corr[k]),
+            jnp.asarray(g.system[k]), jnp.asarray(g.valid[k]),
+            jnp.asarray(g.elevation[k]), jnp.asarray(g.snr[k]), x0)
+        v, ddt = spp.doppler_velocity(
+            jnp.asarray(g.sat_pos[k]), jnp.asarray(g.sat_vel[k]),
+            jnp.asarray(g.dopp_rov[k] + g.sat_ddt[k]),
+            jnp.asarray(g.system[k]), jnp.asarray(g.valid[k]),
+            jnp.asarray(g.elevation[k]), jnp.asarray(g.snr[k]), pos)
+        assert np.linalg.norm(np.asarray(v)) < 1.0  # static start
