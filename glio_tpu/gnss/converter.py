@@ -61,7 +61,11 @@ def convert(rover_obs_path: str, nav_path: str,
             station_obs_path: Optional[str] = None,
             opts: ConvertOptions = ConvertOptions()) -> GnssEpochs:
     """Decode + correct + tensorize a GNSS sequence."""
-    obs = parse_obs(rover_obs_path, systems=opts.systems)
+    from . import native as native_mod
+    if native_mod.available():
+        obs = native_mod.parse_obs_native(rover_obs_path, opts.systems)
+    else:
+        obs = parse_obs(rover_obs_path, systems=opts.systems)
     if opts.max_epochs:
         obs.epochs = obs.epochs[: opts.max_epochs]
     nav = parse_nav(nav_path)
@@ -122,7 +126,14 @@ def convert(rover_obs_path: str, nav_path: str,
     iono_s = atmosphere.klobuchar(tow, sta_llh[0], sta_llh[1], az_s, el_s) * f_scale
     tropo_s = atmosphere.saastamoinen(sta_llh[0], sta_llh[2], el_s)
     rho_s = np.linalg.norm(pos - station_ecef, axis=-1)
-    psr_sta_synth = rho_s - clk * CLIGHT + tgd + iono_s + tropo_s
+    # Sagnac/earth-rotation term: a physical receiver measures it, and the
+    # rover's raw pseudoranges contain theirs — without this the DD
+    # combination is left with the rover's full (tens of metres,
+    # satellite-dependent) Sagnac term instead of the ~cm differential.
+    OMGE = 7.2921151467e-5
+    sagnac_s = OMGE / CLIGHT * (pos[:, 0] * station_ecef[1]
+                                - pos[:, 1] * station_ecef[0])
+    psr_sta_synth = rho_s + sagnac_s - clk * CLIGHT + tgd + iono_s + tropo_s
 
     # ---- scatter into fixed-shape epoch tensors ----
     E = len(obs.epochs)

@@ -1,1 +1,1 @@
-from . import sliding_window  # noqa: F401
+from . import batch, lc_fusion, lidar_odometry, preprocessing, sliding_window  # noqa: F401

@@ -1,0 +1,191 @@
+"""Scan-to-local-map LiDAR odometry frontend.
+
+TPU-native re-design of the reference's ``LidarOdometry`` node
+(``GLIO/src/LidarOdometry.cpp``):
+
+* local map = last 20 keyframe surf clouds (``buildLocalMap`` :268-292),
+  0.2 m voxel downsampling (:306-314),
+* pose initialization by composing the last relative motion (:406-433),
+* correspondence: 5-NN plane fits with 0.06 m planarity and weight > 0.4
+  (``findCorrespondingSurfFeatures`` :343-404),
+* solve: point-to-plane (``LidarPlaneNormIncreFactor``) with Huber(0.1),
+  ≤ 12 iterations (:474-581; ``max_num_iter`` config),
+* keyframe test: Δt > 0.2 m ∨ Δθ > 0.1 rad ∨ gap ≥ 2 frames (:566-578),
+* outputs absolute keyframe poses and per-frame relative odometry
+  (``/odom`` + ``/each_odom`` equivalents).
+
+Like the sliding-window model, the full sequence replays as one
+``lax.scan``; association is the tiled-matmul kNN; the 6-dof solve is the
+dense manifold LM.
+"""
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import GlioConfig
+from ..lidar import neighbors, plane_fit
+from ..solver import dense
+from ..utils import quat
+
+F64 = jnp.float64
+F32 = jnp.float32
+
+
+class OdomCarry(NamedTuple):
+    p: jnp.ndarray             # (3,) current absolute pose
+    q: jnp.ndarray             # (4,)
+    rel_p: jnp.ndarray         # (3,) last inter-frame relative motion
+    rel_q: jnp.ndarray         # (4,)
+    kf_p: jnp.ndarray          # (3,) last keyframe pose
+    kf_q: jnp.ndarray          # (4,)
+    map_scans: jnp.ndarray     # (W, S, 3) keyframe clouds (body frame)
+    map_valid: jnp.ndarray     # (W, S)
+    map_p: jnp.ndarray         # (W, 3)
+    map_q: jnp.ndarray         # (W, 4)
+    map_slot_valid: jnp.ndarray  # (W,)
+    map_head: jnp.ndarray      # () int32
+    frames_since_kf: jnp.ndarray  # () int32
+    frame_count: jnp.ndarray   # () int32
+
+
+class OdomOutput(NamedTuple):
+    p: jnp.ndarray
+    q: jnp.ndarray
+    rel_p: jnp.ndarray         # relative to previous frame
+    rel_q: jnp.ndarray
+    is_keyframe: jnp.ndarray
+    n_matches: jnp.ndarray
+
+
+def make_odometry(cfg: GlioConfig):
+    lo = cfg.lidar_odometry
+    W = lo.local_map_frames
+    S = cfg.shapes.scan_points
+
+    def step(c: OdomCarry, inp):
+        scan, scan_valid = inp
+        first = c.frame_count == 0
+
+        # 1. Constant-motion prediction (poseInitialization).
+        p_pred = c.p + quat.rotate(c.q, c.rel_p)
+        q_pred = quat.normalize(quat.mul(c.q, c.rel_q))
+        p_pred = jnp.where(first, c.p, p_pred)
+        q_pred = jnp.where(first, c.q, q_pred)
+
+        # 2. Build map points in world.
+        map_world = (quat.rotate(c.map_q[:, None, :],
+                                 c.map_scans.astype(F64))
+                     + c.map_p[:, None, :]).astype(F32)
+        mv = c.map_valid & c.map_slot_valid[:, None]
+        map_flat = map_world.reshape(W * S, 3)
+        mv_flat = mv.reshape(W * S)
+        have_map = jnp.any(mv_flat)
+
+        # 3-4. ICP outer rounds: associate at the current estimate, fit
+        # planes, solve 6-dof — repeated scan_match_cnt times (the
+        # reference runs up to 8 rounds on early frames,
+        # LidarOdometry.cpp:500-530). The 5-NN search is ungated like the
+        # reference's nearestKSearch; plane validity + weight filter the
+        # correspondences.
+        scan64 = scan.astype(F64)
+
+        def retract(x, dx):
+            p, q = x
+            return (p + dx[:3],
+                    quat.normalize(quat.mul(q, quat.exp(dx[3:6]))))
+
+        def icp_round(carry, _):
+            p_c, q_c, _ = carry
+            world_q = (quat.rotate(q_c, scan64) + p_c).astype(F32)
+            d2, idx = neighbors.knn(world_q, scan_valid, map_flat, mv_flat,
+                                    k=5, tile=2048)
+            neigh = neighbors.gather_neighbors(map_flat, idx)
+            neigh_ok = idx >= 0
+            fit = plane_fit.fit_planes(neigh, neigh_ok, world_q,
+                                       plane_tol=0.06)
+            good = (fit.valid & scan_valid & (fit.weight > 0.4)
+                    & jnp.all(neigh_ok, -1) & have_map)
+            normal = fit.normal.astype(F64)
+            d_pl = fit.d.astype(F64)
+
+            def residual(x):
+                p, q = x
+                pw = quat.rotate(q, scan64) + p
+                r = jnp.sum(normal * pw, axis=-1) + d_pl
+                r = jnp.where(good, r, 0.0)
+                return r * dense.huber_weight(r, 0.1)
+
+            out = dense.lm_solve(residual, retract, (p_c, q_c), 6,
+                                 max_iters=lo.max_num_iter)
+            p_n, q_n = out.x
+            ok = jnp.all(jnp.isfinite(p_n)) & (jnp.sum(good) > 10)
+            p_n = jnp.where(ok & have_map, p_n, p_c)
+            q_n = jnp.where(ok & have_map, q_n, q_c)
+            return (p_n, q_n, jnp.sum(good).astype(jnp.int32)), None
+
+        (p_new, q_new, n_good), _ = jax.lax.scan(
+            icp_round, (p_pred, q_pred, jnp.asarray(0, jnp.int32)),
+            None, length=max(2, lo.scan_match_cnt))
+
+        # 5. Relative motion vs previous frame.
+        rel_p = quat.rotate(quat.conj(c.q), p_new - c.p)
+        rel_q = quat.normalize(quat.mul(quat.conj(c.q), q_new))
+        rel_p = jnp.where(first, jnp.zeros(3, F64), rel_p)
+        rel_q = jnp.where(first, jnp.array([1.0, 0, 0, 0], F64), rel_q)
+
+        # 6. Keyframe decision (:566-578).
+        d_kf = jnp.linalg.norm(p_new - c.kf_p)
+        a_kf = jnp.linalg.norm(quat.log(
+            quat.mul(quat.conj(c.kf_q), q_new)))
+        is_kf = first | (d_kf > lo.keyframe_dist_thresh) \
+            | (a_kf > lo.keyframe_angle_thresh) \
+            | (c.frames_since_kf >= 2)
+
+        # 7. Conditional map insert.
+        slot = c.map_head % W
+        map_scans = jnp.where(is_kf, c.map_scans.at[slot].set(scan),
+                              c.map_scans)
+        map_valid = jnp.where(is_kf, c.map_valid.at[slot].set(scan_valid),
+                              c.map_valid)
+        map_p = jnp.where(is_kf, c.map_p.at[slot].set(p_new), c.map_p)
+        map_q = jnp.where(is_kf, c.map_q.at[slot].set(q_new), c.map_q)
+        map_slot_valid = jnp.where(
+            is_kf, c.map_slot_valid.at[slot].set(True), c.map_slot_valid)
+        map_head = jnp.where(is_kf, c.map_head + 1, c.map_head)
+
+        new_c = OdomCarry(
+            p=p_new, q=q_new, rel_p=rel_p, rel_q=rel_q,
+            kf_p=jnp.where(is_kf, p_new, c.kf_p),
+            kf_q=jnp.where(is_kf, q_new, c.kf_q),
+            map_scans=map_scans, map_valid=map_valid,
+            map_p=map_p, map_q=map_q, map_slot_valid=map_slot_valid,
+            map_head=map_head,
+            frames_since_kf=jnp.where(is_kf, 0, c.frames_since_kf + 1),
+            frame_count=c.frame_count + 1)
+        return new_c, OdomOutput(p_new, q_new, rel_p, rel_q, is_kf,
+                                 n_good)
+
+    @jax.jit
+    def run(scans, scans_valid, p0=None, q0=None):
+        c = OdomCarry(
+            p=jnp.zeros(3, F64) if p0 is None else jnp.asarray(p0, F64),
+            q=jnp.array([1.0, 0, 0, 0], F64) if q0 is None else jnp.asarray(q0, F64),
+            rel_p=jnp.zeros(3, F64),
+            rel_q=jnp.array([1.0, 0, 0, 0], F64),
+            kf_p=jnp.zeros(3, F64),
+            kf_q=jnp.array([1.0, 0, 0, 0], F64),
+            map_scans=jnp.zeros((W, S, 3), F32),
+            map_valid=jnp.zeros((W, S), bool),
+            map_p=jnp.zeros((W, 3), F64),
+            map_q=jnp.tile(jnp.array([1.0, 0, 0, 0], F64), (W, 1)),
+            map_slot_valid=jnp.zeros((W,), bool),
+            map_head=jnp.asarray(0, jnp.int32),
+            frames_since_kf=jnp.asarray(0, jnp.int32),
+            frame_count=jnp.asarray(0, jnp.int32))
+        _, outs = jax.lax.scan(step, c, (scans, scans_valid))
+        return outs
+
+    return run

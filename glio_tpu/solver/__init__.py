@@ -1,1 +1,1 @@
-from . import dense  # noqa: F401
+from . import banded, dense, linalg, manifold, marginalization  # noqa: F401

@@ -195,3 +195,19 @@ class TestDoppler:
             jnp.asarray(g.system[k]), jnp.asarray(g.valid[k]),
             jnp.asarray(g.elevation[k]), jnp.asarray(g.snr[k]), pos)
         assert np.linalg.norm(np.asarray(v)) < 1.0  # static start
+
+
+class TestNativeDecoder:
+    def test_native_matches_python(self):
+        from glio_tpu.gnss import native
+        if not native.available():
+            pytest.skip("librinex_fast.so not built")
+        a = native.parse_obs_native(OBS, "GC")
+        b = rinex.parse_obs(OBS, "GC")
+        assert len(a.epochs) == len(b.epochs)
+        for ea, eb in zip(a.epochs[::100], b.epochs[::100]):
+            assert ea.sats == eb.sats
+            np.testing.assert_allclose(ea.psr, eb.psr)
+            np.testing.assert_allclose(
+                np.nan_to_num(ea.doppler), np.nan_to_num(eb.doppler))
+        np.testing.assert_allclose(a.approx_pos, b.approx_pos)
