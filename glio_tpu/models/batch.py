@@ -88,6 +88,14 @@ def build_problem(cfg: GlioConfig, p_odo, q_odo, kf_time, gnss,
     rel_dq = np.zeros((T, R, 4))
     rel_dq[..., 0] = 1.0
     rel_valid = np.zeros((T, R), bool)
+    kf_dt = np.median(np.diff(np.asarray(kf_time, float))) if T > 1 else 0.33
+    # Plausibility gate on odometry relatives: the reference's incremental
+    # scheme re-derives relative measurements from the continuously
+    # batch-corrected trajectory, which heals odometry jumps; in a one-shot
+    # solve we instead drop relatives implying impossible vehicle motion
+    # (default 30 m/s), so a sliding-window divergence spike can't lock the
+    # whole chain against the GNSS evidence.
+    max_speed = 30.0
     for r in range(1, R + 1):
         n = T - r
         qi = qj[:n]
@@ -95,7 +103,8 @@ def build_problem(cfg: GlioConfig, p_odo, q_odo, kf_time, gnss,
         dp = quat.rotate(quat.conj(qi), pj[r:] - pj[:n])
         rel_dq[:n, r - 1] = np.asarray(dq)
         rel_dp[:n, r - 1] = np.asarray(dp)
-        rel_valid[:n, r - 1] = True
+        speed = np.linalg.norm(rel_dp[:n, r - 1], axis=-1) / (r * kf_dt)
+        rel_valid[:n, r - 1] = speed < max_speed
 
     # Epoch binding: keyframe pair bracketing each epoch time.
     kf_time = np.asarray(kf_time, float)
@@ -286,10 +295,15 @@ def _assemble(p, q, prob: BatchProblem, threshold, hw: int):
     return band, grad
 
 
-@partial(jax.jit, static_argnames=("cfg", "lm_iters", "pcg_iters"))
+@partial(jax.jit, static_argnames=("cfg", "lm_iters", "pcg_iters", "solver"))
 def solve_batch_once(cfg: GlioConfig, prob: BatchProblem, p0, q0,
-                     threshold, lm_iters: int = 10, pcg_iters: int = 60):
-    """One annealing stage: damped Gauss-Newton with banded PCG solves."""
+                     threshold, lm_iters: int = 10, pcg_iters: int = 60,
+                     solver: str = "direct"):
+    """One annealing stage: damped Gauss-Newton over the banded system.
+
+    solver="direct" uses the exact block-banded Cholesky (single chip,
+    reference-equivalent); "pcg" uses block-Jacobi PCG (the multi-chip
+    shardable path)."""
     hw = cfg.estimator.search_range + 1
 
     def step(carry, _):
@@ -303,7 +317,10 @@ def solve_batch_once(cfg: GlioConfig, prob: BatchProblem, p0, q0,
                 jnp.diagonal(diag, axis1=-2, axis2=-1), 1.0)[..., None, :]
             * jnp.eye(D, dtype=F64))
         band2 = band.at[:, hw].set(damped)
-        dx, _ = banded.pcg_solve(band2, -grad, iters=pcg_iters)
+        if solver == "direct":
+            dx = banded.direct_solve(band2, -grad)
+        else:
+            dx, _ = banded.pcg_solve(band2, -grad, iters=pcg_iters)
         p_new, q_new = _retract(p, q, dx.reshape(-1))
         new_cost = _total_cost(p_new, q_new, prob, threshold)
         better = new_cost < cost
@@ -322,15 +339,19 @@ def solve_batch_once(cfg: GlioConfig, prob: BatchProblem, p0, q0,
 
 def optimize_batch(cfg: GlioConfig, prob: BatchProblem,
                    thresholds=(1e9, 10.0, 8.0, 6.0),
-                   lm_iters: int = 10, pcg_iters: int = 60):
+                   lm_iters: int = 10, pcg_iters: int = 60,
+                   solver: str = "direct"):
     """Full annealed batch solve (4 outer stages, Estimator.cpp:2764-2767).
 
     Returns the refined (p, q) trajectory.
     """
     p, q = prob.p_odo, prob.q_odo
     costs = []
-    for th in thresholds:
+    if isinstance(lm_iters, int):
+        lm_iters = (lm_iters,) * len(thresholds)
+    for th, iters in zip(thresholds, lm_iters):
         p, q, cost = solve_batch_once(
-            cfg, prob, p, q, jnp.asarray(th, F64), lm_iters, pcg_iters)
+            cfg, prob, p, q, jnp.asarray(th, F64), iters, pcg_iters,
+            solver)
         costs.append(float(cost))
     return p, q, costs

@@ -102,3 +102,111 @@ def pcg_solve(band, b, iters: int = 100, tol: float = 1e-10):
     (x, r, _, _), hist = jax.lax.scan(
         step, (x0, r0, p0, rz0), None, length=iters)
     return x, jnp.sqrt(jnp.maximum(jnp.sum(r * r), 0.0))
+
+
+# --- Exact block-banded Cholesky (direct solver) -----------------------------
+#
+# PCG with block-Jacobi preconditioning stalls on long stiff chains (the
+# batch problem couples poses with w≈20-10000 relative factors vs w≈0.1-1
+# GNSS rows; long-wavelength modes need O(T) iterations). The reference
+# solves the same system exactly with sparse Cholesky; this is the banded
+# equivalent: an O(T·hw²·D³) lax.scan — 3.5k tiny sequential block steps,
+# negligible next to assembly. PCG remains the multi-chip path.
+
+def block_cholesky(band: jnp.ndarray, jitter: float = 0.0) -> jnp.ndarray:
+    """Lower block-banded Cholesky factor of a block-banded SPD matrix.
+
+    band: (T, 2*hw+1, D, D) with band[t, hw+o] = H[t][t+o].
+    Returns Lb: (T, hw+1, D, D) with Lb[t, m] = L[t][t−m] (m=0 diagonal).
+    """
+    T, B, D, _ = band.shape
+    hw = (B - 1) // 2
+    eyeD = jnp.eye(D, dtype=band.dtype)
+
+    def step(window, row):
+        # window[r] = Lb row (t−hw+r), r = 0..hw−1 (zeros for t−hw+r < 0).
+        band_t, t = row
+        new_row = jnp.zeros((hw + 1, D, D), band.dtype)
+        # Columns left→right: j = t−m for m = hw..1, then the diagonal.
+        for m in range(hw, 0, -1):
+            # S = A[t][j] − Σ_k L[t][k] L[j][k]ᵀ, k in max(t−hw, j−hw)..j−1.
+            S = band_t[hw - m]
+            j_row = window[hw - m]          # Lb row of block-row j = t−m
+            for k_off in range(1, hw - m + 1):
+                # k = j − k_off; L[t][k] = new_row[m + k_off] (this row,
+                # already computed since m+k_off > m), L[j][k] = j_row[k_off].
+                if m + k_off <= hw:
+                    S = S - new_row[m + k_off] @ j_row[k_off].swapaxes(-1, -2)
+            # L[t][j] = S · L[j][j]^{-T}
+            Ljj = j_row[0]
+            # Solve X Ljjᵀ = S  ⇒  Ljj Xᵀ = Sᵀ (forward-triangular).
+            Xt = jax.scipy.linalg.solve_triangular(
+                Ljj, S.swapaxes(-1, -2), lower=True)
+            val = Xt.swapaxes(-1, -2)
+            # Zero when the column is out of range (j < 0) — detected by a
+            # zero diagonal block in the window.
+            ok = jnp.abs(Ljj).sum() > 0
+            new_row = new_row.at[m].set(jnp.where(ok, val, 0.0))
+        # Diagonal: S = A[t][t] − Σ_{m=1..hw} L[t][t−m] L[t][t−m]ᵀ.
+        S = band_t[hw]
+        for m in range(1, hw + 1):
+            S = S - new_row[m] @ new_row[m].swapaxes(-1, -2)
+        Ltt = jnp.linalg.cholesky(S + jitter * eyeD)
+        new_row = new_row.at[0].set(Ltt)
+        window = jnp.concatenate([window[1:], new_row[None]], axis=0)
+        return window, new_row
+
+    init = jnp.zeros((hw, hw + 1, D, D), band.dtype)
+    _, Lb = jax.lax.scan(step, init,
+                         (band, jnp.arange(T, dtype=jnp.int32)))
+    return Lb
+
+
+def block_cholesky_solve(Lb: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Solve H x = b given the block-banded factor from block_cholesky."""
+    T, HW1, D, _ = Lb.shape
+    hw = HW1 - 1
+
+    # Forward: L y = b.
+    def fwd(window, row):
+        Lrow, bt = row
+        s = bt
+        for m in range(1, hw + 1):
+            s = s - Lrow[m] @ window[hw - m]
+        y = jax.scipy.linalg.solve_triangular(Lrow[0], s, lower=True)
+        window = jnp.concatenate([window[1:], y[None]], axis=0)
+        return window, y
+
+    init = jnp.zeros((hw, D), Lb.dtype)
+    _, y = jax.lax.scan(fwd, init, (Lb, b))
+
+    # Backward: Lᵀ x = y. Need U[t, m] = L[t+m][t]ᵀ = Lb[t+m, m]ᵀ.
+    U = jnp.zeros((T, hw, D, D), Lb.dtype)
+    for m in range(1, hw + 1):
+        shifted = jnp.roll(Lb[:, m], -m, axis=0)
+        idx = jnp.arange(T)
+        ok = idx + m < T
+        U = U.at[:, m - 1].set(
+            jnp.where(ok[:, None, None], shifted.swapaxes(-1, -2), 0.0))
+
+    def bwd(window, row):
+        Ldiag, Ut, yt = row
+        s = yt
+        for m in range(1, hw + 1):
+            s = s - Ut[m - 1] @ window[m - 1]
+        x = jax.scipy.linalg.solve_triangular(
+            Ldiag.swapaxes(-1, -2), s, lower=False)
+        window = jnp.concatenate([x[None], window[:-1]], axis=0)
+        return window, x
+
+    initb = jnp.zeros((hw, D), Lb.dtype)
+    _, x_rev = jax.lax.scan(bwd, initb,
+                            (Lb[::-1, 0], U[::-1], y[::-1]))
+    return x_rev[::-1]
+
+
+@partial(jax.jit, static_argnames=())
+def direct_solve(band, b, jitter: float = 1e-12):
+    """Exact banded solve: block Cholesky + two substitution sweeps."""
+    Lb = block_cholesky(band, jitter=jitter)
+    return block_cholesky_solve(Lb, b)

@@ -21,7 +21,7 @@ STATION = np.array([-2414266.9200, 5386768.9870, 2407460.0310])
 DATA = "/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/urbannavWhampoa"
 
 
-def main(lm_iters=6, pcg_iters=250):
+def main(lm_iters=(40, 12, 8, 8), pcg_iters=250):
     sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
     bt = read_result_csv("/root/reference/result/tc_batch_result.csv")
     g = converter.convert(
@@ -32,8 +32,9 @@ def main(lm_iters=6, pcg_iters=250):
     cfg = GlioConfig()
     prob = B.build_problem(cfg, p_odo, q_odo, sw.time, g, ANCHOR, 0.0, STATION)
     t0 = time.time()
-    p, q, costs = B.optimize_batch(cfg, prob, lm_iters=lm_iters,
-                                   pcg_iters=pcg_iters)
+    p, q, costs = B.optimize_batch(
+        cfg, prob, thresholds=(1e9, 10.0, 8.0, 6.0),
+        lm_iters=lm_iters, pcg_iters=pcg_iters)
     p = np.asarray(p)
     print("solve", round(time.time() - t0, 1), "s; costs",
           [round(c) for c in costs], flush=True)

@@ -1,0 +1,108 @@
+"""Tests for the pipeline orchestration and auxiliary subsystems."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glio_tpu.config import GlioConfig, ShapeConfig, EstimatorConfig
+from glio_tpu.data.simulator import simulate_episode
+from glio_tpu.eval import pointcloud, trajectory
+from glio_tpu.utils import checkpoint, profiling
+
+
+CFG = GlioConfig().replace(
+    shapes=ShapeConfig(max_imu_per_interval=40, scan_points=256,
+                       map_points=2048),
+    estimator=EstimatorConfig(local_map_width=6, sw_max_iter=4),
+)
+
+
+def test_pipeline_sw_stage_and_csv(tmp_path):
+    from glio_tpu.pipeline import run_pipeline
+    ep = simulate_episode(n_keyframes=8, scan_points=256, seed=11)
+    res = run_pipeline(ep, CFG, out_dir=str(tmp_path))
+    assert res.p_sw.shape == (8, 3)
+    csv = tmp_path / "tc_sw_result.csv"
+    assert csv.exists()
+    tr = trajectory.read_result_csv(str(csv))
+    assert tr.time.shape == (8,)
+    # ENU column round-trips the pipeline's local positions (yaw=0).
+    np.testing.assert_allclose(tr.enu, res.p_sw, atol=1e-6)
+    # llh georeferencing lands near the configured anchor.
+    anc_llh = np.asarray(
+        __import__("glio_tpu.utils.coords", fromlist=["ecef2llh"]).ecef2llh(
+            jnp.asarray(CFG.initialization.anc_ecef)))
+    assert abs(np.rad2deg(tr.llh[0, 0]) - np.rad2deg(anc_llh[0])) < 0.1
+
+
+def test_rtk_dd_fix_synthetic():
+    """DD fix recovers a known receiver position from exact geometry."""
+    from glio_tpu.gnss import rtk
+    rng = np.random.default_rng(3)
+    M = 16
+    station = np.array([-2414266.92, 5386768.987, 2407460.031])
+    truth = station + np.array([500.0, -300.0, 200.0])
+    # Satellites well-spread on a 2.6e7 shell.
+    dirs = rng.normal(size=(M, 3))
+    dirs[:, 2] = np.abs(dirs[:, 2]) + 0.5
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    up = station / np.linalg.norm(station)
+    sat_pos = station + 2.2e7 * (dirs + up)  # above horizon-ish
+    psr_rov = np.linalg.norm(sat_pos - truth, axis=-1) + 123.4  # rcv clock
+    psr_sta = np.linalg.norm(sat_pos - station, axis=-1)
+    valid = np.ones(M, bool)
+    system = np.zeros(M, np.int32)
+    master = np.array([0, -1, -1, -1], np.int32)
+    el = np.full(M, 0.8)
+    snr = np.full(M, 45.0)
+    pos, cov, ok, n_dd = rtk.solve_epoch_dd(
+        jnp.asarray(sat_pos), jnp.asarray(psr_rov), jnp.asarray(psr_sta),
+        jnp.asarray(valid), jnp.asarray(system), jnp.asarray(master),
+        jnp.asarray(station), jnp.asarray(el), jnp.asarray(snr),
+        jnp.asarray(station))
+    assert bool(ok)
+    np.testing.assert_allclose(np.asarray(pos), truth, atol=1e-3)
+    assert np.all(np.isfinite(np.asarray(cov)))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6, dtype=jnp.float64).reshape(2, 3),
+            "b": (jnp.ones(4, jnp.float32), jnp.asarray(3, jnp.int32))}
+    path = str(tmp_path / "ckpt.npz")
+    checkpoint.save_pytree(path, tree)
+    like = {"a": jnp.zeros((2, 3)), "b": (jnp.zeros(4, jnp.float32),
+                                          jnp.asarray(0, jnp.int32))}
+    out = checkpoint.load_pytree(path, like)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(out["b"][0]),
+                                  np.asarray(tree["b"][0]))
+    assert int(out["b"][1]) == 3
+
+
+def test_pcd_roundtrip(tmp_path):
+    pts = np.random.default_rng(0).normal(size=(50, 3)).astype(np.float32)
+    path = str(tmp_path / "map.pcd")
+    n = pointcloud.write_pcd(path, pts)
+    assert n == 50
+    back = pointcloud.read_pcd(path)
+    np.testing.assert_allclose(back, pts, atol=1e-3)
+
+
+def test_profiler():
+    prof = profiling.Profiler()
+    with prof.section("work"):
+        sum(range(1000))
+    with prof.section("work"):
+        sum(range(1000))
+    assert prof.counts["work"] == 2
+    assert "work" in prof.report()
+
+
+def test_kml_export(tmp_path):
+    llh = np.array([[0.39, 1.99, 5.0], [0.391, 1.991, 6.0]])
+    path = str(tmp_path / "t.kml")
+    trajectory.write_kml(path, llh)
+    text = open(path).read()
+    assert "coordinates" in text and "114" in text
