@@ -248,3 +248,75 @@ def simulate_episode(
         acc0=acc_out[0], gyr0=gyr_out[0],
         gt_p=ps[kf_idx], gt_q=qs[kf_idx], gt_v=vs[kf_idx],
     )
+
+
+def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,
+                         n_sats=20, psr_noise=0.5, epoch_stride=3, seed=0,
+                         max_sv=32):
+    """Synthetic DD-ready GNSS epochs for a simulated trajectory.
+
+    Satellites on a slowly-rotating shell; rover raw pseudoranges include
+    receiver clock + Sagnac + noise; station observations are exact — the
+    same contract the converter's synthesized-station mode produces, but
+    with zero atmosphere so DD is exact up to `psr_noise`.
+    """
+    from ..data.episode import GnssEpochs
+    from ..utils import coords as C
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(seed)
+    anchor_ecef = np.asarray(anchor_ecef, float)
+    station_ecef = np.asarray(station_ecef, float)
+    gt_ecef = np.asarray(C.enu2ecef(jnp.asarray(gt_p_enu),
+                                    jnp.asarray(anchor_ecef)))
+    up = anchor_ecef / np.linalg.norm(anchor_ecef)
+    # Random sky directions biased upward.
+    dirs = rng.normal(size=(n_sats, 3))
+    dirs += 1.2 * up
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    omega = rng.normal(size=(n_sats, 3)) * 1e-4     # slow drift rad/s
+
+    idx = np.arange(0, len(kf_time), epoch_stride)
+    E = len(idx)
+    OMGE, CL = 7.2921151467e-5, 299792458.0
+    g = GnssEpochs(
+        time=np.asarray(kf_time)[idx] + 0.01,
+        sat_pos=np.zeros((E, max_sv, 3)), sat_vel=np.zeros((E, max_sv, 3)),
+        sat_ddt=np.zeros((E, max_sv)),
+        psr_rov=np.zeros((E, max_sv)), psr_sta=np.zeros((E, max_sv)),
+        psr_rov_corr=np.zeros((E, max_sv)), dopp_rov=np.zeros((E, max_sv)),
+        elevation=np.zeros((E, max_sv)), snr=np.zeros((E, max_sv)),
+        valid=np.zeros((E, max_sv), bool),
+        system=np.zeros((E, max_sv), np.int8),
+        master=np.full((E, 4), -1, np.int32),
+    )
+    from ..gnss import dd as dd_mod
+    for e, k in enumerate(idx):
+        t = g.time[e] - g.time[0]
+        rov = gt_ecef[min(k, len(gt_ecef) - 1)]
+        clk = 1e-3 * CL * (1 + 1e-8 * t)  # receiver clock (m)
+        for s in range(n_sats):
+            axis = omega[s] * t
+            d = dirs[s] + np.cross(axis, dirs[s])
+            d /= np.linalg.norm(d)
+            sat = anchor_ecef + 2.2e7 * d
+            el = float(np.asarray(C.sat_azel(jnp.asarray(rov),
+                                             jnp.asarray(sat))[1]))
+            if el < np.deg2rad(15):
+                continue
+            rho_u = np.linalg.norm(sat - rov)
+            rho_s = np.linalg.norm(sat - station_ecef)
+            sag_u = OMGE / CL * (sat[0] * rov[1] - sat[1] * rov[0])
+            sag_s = OMGE / CL * (sat[0] * station_ecef[1]
+                                 - sat[1] * station_ecef[0])
+            g.sat_pos[e, s] = sat
+            g.psr_rov[e, s] = (rho_u + sag_u + clk
+                               + psr_noise * rng.normal())
+            g.psr_sta[e, s] = rho_s + sag_s
+            g.elevation[e, s] = el
+            g.snr[e, s] = 45.0
+            g.system[e, s] = 0 if s < n_sats // 2 else 3
+            g.valid[e, s] = True
+        g.master[e] = dd_mod.select_master(
+            g.elevation[e], g.valid[e], g.system[e])
+    return g

