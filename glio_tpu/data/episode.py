@@ -82,9 +82,22 @@ class Episode:
     def num_keyframes(self):
         return self.kf_time.shape[0]
 
-    def to_inputs(self):
+    def to_inputs(self, max_sv: int = 32):
         """Stacked KeyframeInput pytree for models.sliding_window.make_replay."""
-        from ..models.sliding_window import KeyframeInput
+        from ..gnss.dd import bind_epochs_to_keyframes
+        from ..models.sliding_window import GnssKfData, KeyframeInput
+        b = bind_epochs_to_keyframes(self.gnss, self.kf_time, max_sv)
+        gnss = GnssKfData(
+            sat_pos=jnp.asarray(b["gnss_sat_pos"]),
+            psr_rov=jnp.asarray(b["gnss_psr_rov"]),
+            psr_sta=jnp.asarray(b["gnss_psr_sta"]),
+            sv_valid=jnp.asarray(b["gnss_sv_valid"]),
+            system=jnp.asarray(b["gnss_system"]),
+            master=jnp.asarray(b["gnss_master"]),
+            whiten=jnp.asarray(b["gnss_whiten"]),
+            ratio=jnp.asarray(b["gnss_ratio"]),
+            valid=jnp.asarray(b["gnss_valid"]),
+        )
         return KeyframeInput(
             imu_acc=jnp.asarray(self.imu_acc),
             imu_gyr=jnp.asarray(self.imu_gyr),
@@ -93,6 +106,7 @@ class Episode:
             scan=jnp.asarray(self.scan, jnp.float32),
             scan_valid=jnp.asarray(self.scan_valid),
             time=jnp.asarray(self.kf_time),
+            gnss=gnss,
         )
 
     def save(self, path: str):

@@ -1,1 +1,1 @@
-from . import rinex, ephemeris, atmosphere, spp, dd, converter  # noqa: F401
+from . import atmosphere, converter, dd, ephemeris, rinex, rtk, spp, tools  # noqa: F401

@@ -101,3 +101,52 @@ def dd_residual(p_ecef, sat_pos, psr_rov, psr_sta, station_pos,
         r = jnp.where(jnp.abs(r) > threshold, 0.05 * r, r)
         res.append(whiten[s] @ r)
     return jnp.stack(res)
+
+
+def bind_epochs_to_keyframes(gnss, kf_time, max_sv: int):
+    """Per-keyframe GNSS binding for the sliding window (host-side).
+
+    For each keyframe k, the latest epoch inside (t_{k-1}, t_k] with its
+    interpolation ratio toward k-1 (dd_psr_factor.hpp:42 semantics) and
+    precomputed whitening. Returns dict of (T, ...) arrays matching the
+    KeyframeInput gnss_* fields.
+    """
+    import numpy as np
+    kf_time = np.asarray(kf_time, float)
+    T = kf_time.shape[0]
+    M = max_sv
+    out = dict(
+        gnss_sat_pos=np.zeros((T, M, 3)),
+        gnss_psr_rov=np.zeros((T, M)),
+        gnss_psr_sta=np.zeros((T, M)),
+        gnss_sv_valid=np.zeros((T, M), bool),
+        gnss_system=np.zeros((T, M), np.int32),
+        gnss_master=np.full((T, 4), -1, np.int32),
+        gnss_whiten=np.zeros((T, 4, M, M)),
+        gnss_ratio=np.full((T,), 0.5),
+        gnss_valid=np.zeros((T,), bool),
+    )
+    if gnss is None:
+        return out
+    idx = np.searchsorted(gnss.time, kf_time)
+    for k in range(1, T):
+        # Latest epoch within the interval.
+        cand = idx[k] - 1
+        if cand < 0:
+            continue
+        te = gnss.time[cand]
+        if te <= kf_time[k - 1] or te > kf_time[k]:
+            continue
+        dt = kf_time[k] - kf_time[k - 1]
+        out["gnss_sat_pos"][k] = gnss.sat_pos[cand]
+        out["gnss_psr_rov"][k] = gnss.psr_rov[cand]
+        out["gnss_psr_sta"][k] = gnss.psr_sta[cand]
+        out["gnss_sv_valid"][k] = gnss.valid[cand]
+        out["gnss_system"][k] = gnss.system[cand]
+        out["gnss_master"][k] = gnss.master[cand]
+        out["gnss_whiten"][k] = dd_whitening_matrix(
+            gnss.elevation[cand], gnss.snr[cand], gnss.valid[cand],
+            gnss.system[cand], gnss.master[cand], M)
+        out["gnss_ratio"][k] = (kf_time[k] - te) / max(dt, 1e-9)
+        out["gnss_valid"][k] = True
+    return out

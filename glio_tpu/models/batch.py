@@ -476,3 +476,223 @@ def optimize_batch_incremental(cfg: GlioConfig, prob: BatchProblem, kf_time,
             print(f"  relaxation {it + 1}: cost {float(cost):.0f}",
                   flush=True)
     return jnp.asarray(p_cur), jnp.asarray(q_cur)
+
+
+# --- Scan-to-multiscan level 1: binary surf-feature constraints --------------
+
+class Sms1Data(NamedTuple):
+    """Correspondences for ``sms_fusion_level=1``: points of frame i vs
+    plane (normal, centroid) in frame j=i+r's body frame
+    (``BinaryLidarPlaneNormFactor``; reference association via
+    ``findGlobalCorrespondingSurfFeatures_Batch``, Estimator.cpp:3710-3806,
+    and 25-of-400 selection :4057-4116 — here deterministic top-25 by
+    planarity)."""
+    pts_i: jnp.ndarray       # (T, R, F, 3) body-frame points of frame i
+    normal_j: jnp.ndarray    # (T, R, F, 3) plane normals in frame j body
+    cent_j: jnp.ndarray      # (T, R, F, 3) plane centroids in frame j body
+    score: jnp.ndarray       # (T, R, F)
+    mask: jnp.ndarray        # (T, R, F) bool
+
+
+def build_sms1(cfg: GlioConfig, scans, scans_valid, p_odo, q_odo,
+               chunk: int = 64) -> Sms1Data:
+    """Associate every (i, i+r) keyframe pair's scans (host-driven, jitted
+    per chunk of pairs)."""
+    from ..lidar import neighbors, plane_fit
+    est = cfg.estimator
+    fs = cfg.feature_selection
+    T, S = scans_valid.shape
+    R = est.search_range
+    F = fs.batch_feature_res_num
+
+    scans = jnp.asarray(scans, jnp.float32)
+    scans_valid = jnp.asarray(scans_valid)
+    p = jnp.asarray(p_odo)
+    q = jnp.asarray(q_odo)
+
+    @jax.jit
+    def pair_assoc(i_idx, j_idx):
+        def one(i, j):
+            qi, pi = q[i], p[i]
+            qj, pj = q[j], p[j]
+            # Frame i points → world (odometry poses, association only).
+            w_i = (quat.rotate(qi, scans[i].astype(F64)) + pi).astype(
+                jnp.float32)
+            w_j = (quat.rotate(qj, scans[j].astype(F64)) + pj).astype(
+                jnp.float32)
+            d2, idx = neighbors.knn(w_i, scans_valid[i], w_j,
+                                    scans_valid[j], k=5, tile=1024)
+            neigh = neighbors.gather_neighbors(w_j, idx)
+            nrm, cent, planarity, ok = plane_fit.fit_planes_centroid(
+                neigh, idx >= 0, min_planarity=0.8)
+            good = ok & scans_valid[i] & (d2[:, 0] < est.kd_max_radius ** 2)
+            sc = jnp.where(good, planarity, -1.0)
+            top_s, top_i = jax.lax.top_k(sc, F)
+            sel = top_s > 0
+            pts_i = scans[i][top_i].astype(F64)
+            n_w = nrm[top_i].astype(F64)
+            c_w = cent[top_i].astype(F64)
+            # World plane → frame j body.
+            n_j = quat.rotate(quat.conj(qj), n_w)
+            c_j = quat.rotate(quat.conj(qj), c_w - pj)
+            return pts_i, n_j, c_j, est.lidar_const * top_s, sel
+
+        return jax.vmap(one)(i_idx, j_idx)
+
+    pts = np.zeros((T, R, F, 3))
+    nrm = np.zeros((T, R, F, 3))
+    cen = np.zeros((T, R, F, 3))
+    sco = np.zeros((T, R, F))
+    msk = np.zeros((T, R, F), bool)
+    pairs = [(i, i + r + 1, r) for r in range(R) for i in range(T - r - 1)]
+    for c0 in range(0, len(pairs), chunk):
+        blk = pairs[c0:c0 + chunk]
+        ii = jnp.asarray([b[0] for b in blk], jnp.int32)
+        jj = jnp.asarray([b[1] for b in blk], jnp.int32)
+        # Pad the chunk to fixed size for one compilation.
+        padn = chunk - len(blk)
+        if padn:
+            ii = jnp.concatenate([ii, jnp.zeros(padn, jnp.int32)])
+            jj = jnp.concatenate([jj, jnp.ones(padn, jnp.int32)])
+        P, N, Cc, Sc, Ms = pair_assoc(ii, jj)
+        for b, (i, j, r) in enumerate(blk):
+            pts[i, r] = np.asarray(P[b])
+            nrm[i, r] = np.asarray(N[b])
+            cen[i, r] = np.asarray(Cc[b])
+            sco[i, r] = np.asarray(Sc[b])
+            msk[i, r] = np.asarray(Ms[b])
+    return Sms1Data(jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(cen),
+                    jnp.asarray(sco), jnp.asarray(msk))
+
+
+def _sms1_residuals(p, q, sms: Sms1Data):
+    """(T, R, F) binary point-to-plane residuals."""
+    from ..factors.lidar import binary_plane_residual
+    T, R, F, _ = sms.pts_i.shape
+
+    def one(r):
+        roll = r + 1
+        pj = jnp.roll(p, -roll, axis=0)
+        qj = jnp.roll(q, -roll, axis=0)
+
+        def pair(pts, nrm, cen, sc, m, t1, q1, t2, q2):
+            return binary_plane_residual(pts, nrm, cen, sc, t1, q1, t2, q2, m)
+
+        return jax.vmap(pair)(sms.pts_i[:, r], sms.normal_j[:, r],
+                              sms.cent_j[:, r], sms.score[:, r],
+                              sms.mask[:, r], p, q, pj, qj)
+
+    return jnp.stack([one(r) for r in range(R)], axis=1)
+
+
+def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
+                        thresholds=(1e9, 10.0, 8.0, 6.0), lm_iters=6,
+                        solver: str = "direct"):
+    """Batch solve with level-1 scan-to-multiscan constraints.
+
+    Replaces the level-0 relative-pose rows with binary plane factors
+    (the relative-attitude factors remain, as in the reference's level-1
+    branch, Estimator.cpp:2990-3077). The reference additionally chains
+    ImuFactors there; the 15-dof batch state is tracked as a known gap.
+    """
+    hw = cfg.estimator.search_range + 1
+
+    @partial(jax.jit, static_argnames=())
+    def solve_once(p0, q0, threshold):
+        def cost_fn(p, q):
+            r_att = _rel_residuals(p, q, prob)[..., :3]     # attitude rows
+            r_sms = _sms1_residuals(p, q, sms)
+            r_dd = _dd_residuals(p, prob, threshold)
+            return 0.5 * (jnp.sum(r_att ** 2) + jnp.sum(r_sms ** 2)
+                          + jnp.sum(r_dd ** 2))
+
+        def step(carry, _):
+            p, q, lam, cost = carry
+            band = jnp.zeros((p.shape[0], 2 * hw + 1, POSE_DOF, POSE_DOF), F64)
+            grad = jnp.zeros((p.shape[0], POSE_DOF), F64)
+            zero = jnp.zeros(POSE_DOF, F64)
+            T = p.shape[0]
+            R = prob.rel_valid.shape[1]
+
+            # Attitude + binary plane rows per (i, i+r) pair.
+            for r in range(R):
+                roll = r + 1
+                pj = jnp.roll(p, -roll, axis=0)
+                qj = jnp.roll(q, -roll, axis=0)
+
+                def res_fn(di, dj, pi, qi, pjv, qjv, dqm, m_att,
+                           pts, nrm, cen, sc, msk):
+                    qi2 = quat.mul(qi, quat.exp(di[3:6]))
+                    qj2 = quat.mul(qjv, quat.exp(dj[3:6]))
+                    pi2 = pi + di[:3]
+                    pj2 = pjv + dj[:3]
+                    r_att = W_ATT * quat.mul(
+                        quat.conj(dqm), quat.mul(quat.conj(qi2), qj2))[1:]
+                    r_att = jnp.where(m_att, r_att, 0.0)
+                    from ..factors.lidar import binary_plane_residual
+                    r_pl = binary_plane_residual(
+                        pts, nrm, cen, sc, pi2, qi2, pj2, qj2, msk)
+                    return jnp.concatenate([r_att, r_pl])
+
+                res, (Ji, Jj) = jax.vmap(
+                    lambda *a: (res_fn(zero, zero, *a),
+                                jax.jacfwd(res_fn, argnums=(0, 1))(
+                                    zero, zero, *a)))(
+                    p, q, pj, qj, prob.rel_dq[:, r], prob.rel_valid[:, r],
+                    sms.pts_i[:, r], sms.normal_j[:, r], sms.cent_j[:, r],
+                    sms.score[:, r], sms.mask[:, r])
+                i_idx = jnp.arange(T, dtype=jnp.int32)
+                j_idx = jnp.minimum(i_idx + roll, T - 1)
+                Hij = jnp.einsum("nri,nrj->nij", Ji, Jj)
+                band = banded.scatter_add_blocks(
+                    band, i_idx, i_idx,
+                    jnp.einsum("nri,nrj->nij", Ji, Ji), hw)
+                band = banded.scatter_add_blocks(band, i_idx, j_idx, Hij, hw)
+                band = banded.scatter_add_blocks(
+                    band, j_idx, i_idx, jnp.swapaxes(Hij, -1, -2), hw)
+                band = banded.scatter_add_blocks(
+                    band, j_idx, j_idx,
+                    jnp.einsum("nri,nrj->nij", Jj, Jj), hw)
+                grad = grad.at[i_idx].add(jnp.einsum("nri,nr->ni", Ji, res))
+                grad = grad.at[j_idx].add(jnp.einsum("nri,nr->ni", Jj, res))
+
+            # DD rows (reuse level-0 assembly pieces via _assemble on a
+            # relatives-free problem).
+            band_dd, grad_dd = _assemble(
+                p, q, prob._replace(rel_valid=jnp.zeros_like(prob.rel_valid)),
+                threshold, hw)
+            band = band + band_dd
+            grad = grad + grad_dd
+
+            diag = band[:, hw]
+            damped = diag + lam * (
+                jnp.eye(POSE_DOF, dtype=F64) * jnp.maximum(
+                    jnp.diagonal(diag, axis1=-2, axis2=-1),
+                    1.0)[..., None, :] * jnp.eye(POSE_DOF, dtype=F64))
+            band2 = band.at[:, hw].set(damped)
+            if solver == "direct":
+                dx = banded.direct_solve(band2, -grad)
+            else:
+                dx, _ = banded.pcg_solve(band2, -grad, iters=200)
+            p_new, q_new = _retract(p, q, dx.reshape(-1))
+            new_cost = cost_fn(p_new, q_new)
+            better = new_cost < cost
+            p = jnp.where(better, p_new, p)
+            q = jnp.where(better, q_new, q)
+            cost = jnp.where(better, new_cost, cost)
+            lam = jnp.clip(jnp.where(better, lam * 0.3, lam * 5.0),
+                           1e-9, 1e6)
+            return (p, q, lam, cost), None
+
+        cost0 = cost_fn(p0, q0)
+        (p, q, _, cost), _ = jax.lax.scan(
+            step, (p0, q0, jnp.asarray(1e-4, F64), cost0), None,
+            length=lm_iters)
+        return p, q, cost
+
+    p, q = prob.p_odo, prob.q_odo
+    costs = []
+    for th in thresholds:
+        p, q, cost = solve_once(p, q, jnp.asarray(th, F64))
+        costs.append(float(cost))
+    return p, q, costs

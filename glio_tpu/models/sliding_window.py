@@ -54,6 +54,23 @@ F64 = jnp.float64
 F32 = jnp.float32
 
 
+class GnssKfData(NamedTuple):
+    """DD epoch bound to the keyframe's interval (zeros when absent).
+
+    Feeds the optional GNSS-in-window factors (the reference carries the
+    same data into ``optimizeSlidingWindowWithLandMark`` but compiles the
+    factors out — ``#if 0`` Estimator.cpp:2255)."""
+    sat_pos: jnp.ndarray     # (M, 3)
+    psr_rov: jnp.ndarray     # (M,)
+    psr_sta: jnp.ndarray     # (M,)
+    sv_valid: jnp.ndarray    # (M,) bool
+    system: jnp.ndarray      # (M,) int32
+    master: jnp.ndarray      # (4,) int32
+    whiten: jnp.ndarray      # (4, M, M)
+    ratio: jnp.ndarray       # () interpolation toward the older keyframe
+    valid: jnp.ndarray       # () bool
+
+
 class KeyframeInput(NamedTuple):
     """Per-keyframe measurements (stack these over time for the replay)."""
     imu_acc: jnp.ndarray     # (MAX_IMU, 3)
@@ -63,6 +80,7 @@ class KeyframeInput(NamedTuple):
     scan: jnp.ndarray        # (S, 3) body-frame surf points (deskewed)
     scan_valid: jnp.ndarray  # (S,) bool
     time: jnp.ndarray        # () keyframe timestamp
+    gnss: GnssKfData         # DD epoch for this interval
 
 
 class SlidingWindowCarry(NamedTuple):
@@ -199,7 +217,8 @@ def _associate(cfg: GlioConfig, window: WindowState, window_scans,
 
 def _window_residual(cfg: GlioConfig, state: WindowState, pres, imu_sqrt_info,
                      imu_edge_valid, lidar_meas, prior_sqrt_jac,
-                     prior_sqrt_res, prior_valid, prior_lin, gravity):
+                     prior_sqrt_res, prior_valid, prior_lin, gravity,
+                     gnss_win: "GnssKfData" = None):
     """All window residuals, concatenated (fixed shape)."""
     est = cfg.estimator
     K = state.p.shape[0]
@@ -326,6 +345,7 @@ def make_replay(cfg: GlioConfig):
         imu_dt: jnp.ndarray     # (K-1, NI)
         imu_valid: jnp.ndarray  # (K-1, NI)
         imu_seed: jnp.ndarray   # (K-1, 6) acc0/gyr0 seeds per edge
+        gnss_win: GnssKfData    # (K, ...) ring of interval DD epochs
 
     def step(carry: Carry, inp: KeyframeInput):
         c = carry.base
@@ -366,6 +386,12 @@ def make_replay(cfg: GlioConfig):
                                  inp.imu_valid & (~first))
         imu_seed = shift_append(
             carry.imu_seed, jnp.concatenate([c.last_acc, c.last_gyr]))
+        gnss_win = jax.tree.map(
+            lambda ring, new: jnp.where(
+                first,
+                ring if ring.ndim == 0 else ring,
+                jnp.concatenate([ring[1:], new[None]], 0)),
+            carry.gnss_win, inp.gnss)
 
         # Edge validity: edge k valid once kf_count > K-1-k ... simpler:
         # number of edges available = min(kf_count, K-1) (after append).
@@ -406,7 +432,7 @@ def make_replay(cfg: GlioConfig):
             return _window_residual(
                 cfg, s, pres, imu_S, imu_edge_valid, lidar_meas,
                 c.prior_sqrt_jac, c.prior_sqrt_res, c.prior_valid,
-                c.prior_lin, gravity)
+                c.prior_lin, gravity, gnss_win)
 
         # Gauge handling during warm-up (before the first marginalization
         # prior exists): pin frame 0's POSE only — pinning velocity would
@@ -504,7 +530,7 @@ def make_replay(cfg: GlioConfig):
             last_gyr=g_last,
         )
         new_carry = Carry(new_base, imu_acc, imu_gyr, imu_dt, imu_valid,
-                          imu_seed)
+                          imu_seed, gnss_win)
         out_rec = StepOutput(
             p=solved.p[newest], q=solved.q[newest], v=solved.v[newest],
             ba=solved.ba[newest], bg=solved.bg[newest], cost=out.cost,
@@ -517,6 +543,8 @@ def make_replay(cfg: GlioConfig):
             base = base._replace(last_acc=jnp.asarray(acc0, F64),
                                  last_gyr=jnp.asarray(gyr0, F64))
         NI = inputs.imu_acc.shape[-2]  # per-interval IMU padding from data
+        gnss0 = jax.tree.map(
+            lambda a: jnp.zeros((K,) + a.shape[1:], a.dtype), inputs.gnss)
         carry = Carry(
             base,
             imu_acc=jnp.zeros((K - 1, NI, 3), F64),
@@ -524,6 +552,7 @@ def make_replay(cfg: GlioConfig):
             imu_dt=jnp.zeros((K - 1, NI), F64),
             imu_valid=jnp.zeros((K - 1, NI), bool),
             imu_seed=jnp.zeros((K - 1, 6), F64),
+            gnss_win=gnss0,
         )
         final, outs = jax.lax.scan(step, carry, inputs)
         return outs

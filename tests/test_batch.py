@@ -74,3 +74,29 @@ def test_batch_direct_vs_pcg_agree(problem):
 
 
 
+
+
+def test_sms1_binary_plane_mode():
+    """Level-1 scan-to-multiscan: binary surf-plane constraints recover a
+    perturbed trajectory against a simulated plane world."""
+    from glio_tpu.data.simulator import simulate_episode, simulate_gnss_epochs
+    cfg = GlioConfig().replace(
+        estimator=GlioConfig().estimator.__class__(
+            search_range=3, sms_fusion_level=1))
+    ep = simulate_episode(n_keyframes=30, scan_points=512, seed=6,
+                          scan_noise=0.01, q_lb=(1, 0, 0, 0), t_lb=(0, 0, 0))
+    kf_time = ep.kf_time
+    gnss = simulate_gnss_epochs(ep.gt_p, kf_time, ANCHOR, STATION,
+                                psr_noise=0.5, seed=6)
+    rng = np.random.default_rng(6)
+    p_odo = ep.gt_p + 1.5 * rng.normal(size=ep.gt_p.shape)
+    prob = B.build_problem(cfg, p_odo, ep.gt_q, kf_time, gnss,
+                           ANCHOR, 0.0, STATION)
+    sms = B.build_sms1(cfg, ep.scan, ep.scan_valid, ep.gt_p, ep.gt_q,
+                       chunk=32)
+    assert int(np.asarray(sms.mask).sum()) > 100
+    p, q, costs = B.optimize_batch_sms1(cfg, prob, sms,
+                                        thresholds=(1e9, 10.0), lm_iters=5)
+    e0 = np.linalg.norm(p_odo - ep.gt_p, axis=-1)
+    e1 = np.linalg.norm(np.asarray(p) - ep.gt_p, axis=-1)
+    assert e1.mean() < 0.6 * e0.mean(), (e0.mean(), e1.mean())

@@ -211,3 +211,30 @@ class TestNativeDecoder:
             np.testing.assert_allclose(
                 np.nan_to_num(ea.doppler), np.nan_to_num(eb.doppler))
         np.testing.assert_allclose(a.approx_pos, b.approx_pos)
+
+
+class TestGnssTools:
+    def test_prn_classification(self):
+        from glio_tpu.gnss import tools
+        assert tools.classify_prn(5) == 0      # GPS
+        assert tools.classify_prn(40) == 1     # GLONASS
+        assert tools.classify_prn(100) == 3    # BDS
+        assert tools.classify_prn(170) == 3    # BDS extended
+        np.testing.assert_array_equal(
+            tools.classify_prn(np.array([1, 40, 100])), [0, 1, 3])
+
+    def test_dop(self, epochs):
+        from glio_tpu.gnss import tools
+        g = epochs
+        rcv = np.array([-2418136.8695, 5385860.7891, 2405565.9777])
+        gdop, pdop, hdop, vdop = tools.dop(rcv, g.sat_pos[0], g.valid[0])
+        assert 1.0 < float(gdop) < 10.0
+        assert float(hdop) < float(gdop)
+        assert float(pdop) < float(gdop)
+
+    def test_skyplot(self):
+        from glio_tpu.gnss import tools
+        x, y = tools.skyplot_coordinates(np.array([0.0, np.pi / 2]),
+                                         np.array([np.pi / 2, 0.0]))
+        np.testing.assert_allclose([x[0], y[0]], [0, 0], atol=1e-12)
+        np.testing.assert_allclose([x[1], y[1]], [1, 0], atol=1e-12)

@@ -76,3 +76,29 @@ def test_episode_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(ep2.scan, ep.scan)
     np.testing.assert_array_equal(ep2.imu_acc, ep.imu_acc)
     np.testing.assert_array_equal(ep2.gt_p, ep.gt_p)
+
+
+def test_gnss_in_window_bounds_drift():
+    """The optional GNSS-in-window factors (the reference's compiled-out
+    `#if 0` path) bound absolute drift in the sliding window."""
+    from glio_tpu.data.simulator import simulate_gnss_epochs
+
+    cfg_on = CFG.replace(estimator=CFG.estimator.__class__(
+        local_map_width=8, sw_max_iter=8, gnss_in_sliding_window=True))
+    ep = simulate_episode(n_keyframes=25, scan_points=512, seed=12)
+    anchor = np.asarray(cfg_on.initialization.anc_ecef)
+    station = np.asarray(cfg_on.initialization.station_ecef)
+    ep.gnss = simulate_gnss_epochs(ep.gt_p, ep.kf_time, anchor, station,
+                                   psr_noise=0.3, epoch_stride=1, seed=12)
+    replay_on, _ = make_replay(cfg_on)
+    out = replay_on(ep.to_inputs(), ep.p0, ep.q0, ep.v0, ep.acc0, ep.gyr0)
+    err_on = np.linalg.norm(np.asarray(out.p) - ep.gt_p, axis=-1)
+
+    replay_off, _ = make_replay(CFG)
+    out_off = replay_off(ep.to_inputs(), ep.p0, ep.q0, ep.v0,
+                         ep.acc0, ep.gyr0)
+    err_off = np.linalg.norm(np.asarray(out_off.p) - ep.gt_p, axis=-1)
+
+    # GNSS keeps the tail bounded near DD accuracy.
+    assert err_on[-5:].mean() < max(1.5, 0.8 * err_off[-5:].mean())
+    assert err_on.max() < 5.0
