@@ -87,6 +87,9 @@ class EstimatorConfig:
     gnss_in_sliding_window: bool = False
     # Debug switch: disable the marginalization prior (anchor instead).
     enable_marginalization: bool = True
+    # Doppler factors in the batch stage (the reference ships them
+    # compiled out, `#if 0` Estimator.cpp:3146-3195; off matches).
+    doppler_in_batch: bool = False
 
 
 @dataclass(frozen=True)

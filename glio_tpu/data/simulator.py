@@ -320,3 +320,76 @@ def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,
         g.master[e] = dd_mod.select_master(
             g.elevation[e], g.valid[e], g.system[e])
     return g
+
+
+def to_range_image(pts_body, valid, n_rings=16, n_cols=360,
+                   elev_lo=-0.26, elev_hi=0.26):
+    """Project body-frame points onto a Velodyne-style ring range image.
+
+    Gives the preprocessing front end (ring-ordered input,
+    Preprocessing.cpp's expectation) something real to chew on from the
+    plane-world simulator. Nearest-return per cell.
+    """
+    pts = np.asarray(pts_body, np.float32)
+    v = np.asarray(valid)
+    r_xy = np.linalg.norm(pts[:, :2], axis=-1)
+    rng = np.linalg.norm(pts, axis=-1)
+    elev = np.arctan2(pts[:, 2], r_xy)
+    az = np.arctan2(pts[:, 1], pts[:, 0])
+    ring = np.round((elev - elev_lo) / (elev_hi - elev_lo)
+                    * (n_rings - 1)).astype(int)
+    col = np.round((az + np.pi) / (2 * np.pi) * (n_cols - 1)).astype(int)
+    ok = v & (ring >= 0) & (ring < n_rings) & (rng > 0.5)
+    img = np.zeros((n_rings, n_cols, 3), np.float32)
+    img_valid = np.zeros((n_rings, n_cols), bool)
+    best = np.full((n_rings, n_cols), np.inf, np.float32)
+    for i in np.nonzero(ok)[0]:
+        r, c = ring[i], col[i]
+        if rng[i] < best[r, c]:
+            best[r, c] = rng[i]
+            img[r, c] = pts[i]
+            img_valid[r, c] = True
+    return img, img_valid
+
+
+def raycast_scan(world: PlaneWorld, p_w, R_wb, n_rings=8, n_cols=160,
+                 elev_lo=-0.30, elev_hi=0.12, max_range=60.0, noise=0.01,
+                 rng=None):
+    """Beam-swept range image by ray/plane-patch intersection.
+
+    Produces the contiguous per-ring structure the LOAM curvature pipeline
+    expects (a spinning lidar sweeps continuously; the random-sample scans
+    from ``PlaneWorld.sample_scan`` cannot exercise Preprocessing).
+    Vectorized over all rays × patches; nearest positive hit wins.
+    """
+    rng = rng or np.random.default_rng(0)
+    elev = np.linspace(elev_lo, elev_hi, n_rings)
+    az = np.linspace(-np.pi, np.pi, n_cols, endpoint=False)
+    ce, se = np.cos(elev)[:, None], np.sin(elev)[:, None]
+    ca, sa = np.cos(az)[None, :], np.sin(az)[None, :]
+    dirs_body = np.stack([ce * ca, ce * sa, se * np.ones_like(ca)], -1)
+    dirs = dirs_body.reshape(-1, 3) @ R_wb.T          # world frame
+
+    n = world.normals                                  # (P, 3)
+    c = world.centers
+    denom = dirs @ n.T                                 # (Rays, P)
+    num = -((p_w - c) * n).sum(-1)[None, :]            # (1, P)
+    t = np.where(np.abs(denom) > 1e-6, num / denom, np.inf)
+    hit = p_w[None, None] + t[..., None] * dirs[:, None, :]  # (Rays, P, 3)
+    rel = hit - c[None]
+    u = (rel * world.t1[None]).sum(-1)
+    v = (rel * world.t2[None]).sum(-1)
+    ok = ((t > 0.5) & (t < max_range)
+          & (np.abs(u) <= world.half[None, :, 0])
+          & (np.abs(v) <= world.half[None, :, 1]))
+    t = np.where(ok, t, np.inf)
+    best = np.argmin(t, axis=1)
+    t_best = t[np.arange(t.shape[0]), best]
+    valid = np.isfinite(t_best)
+    t_noisy = np.where(valid, t_best, 0.0) + noise * rng.normal(
+        size=t_best.shape)
+    pts_w = p_w[None] + t_noisy[:, None] * dirs
+    pts_b = (pts_w - p_w) @ R_wb
+    img = np.where(valid[:, None], pts_b, 0.0).reshape(
+        n_rings, n_cols, 3).astype(np.float32)
+    return img, valid.reshape(n_rings, n_cols)

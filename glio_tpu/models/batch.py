@@ -66,6 +66,11 @@ class BatchProblem(NamedTuple):
     system: jnp.ndarray       # (E, M)
     master: jnp.ndarray       # (E, 4)
     whiten: jnp.ndarray       # (E, 4, M, M)
+    # Doppler (used only when cfg.estimator.doppler_in_batch).
+    sat_vel: jnp.ndarray      # (E, M, 3)
+    sat_ddt: jnp.ndarray      # (E, M)
+    dopp: jnp.ndarray         # (E, M) measured range-rate (m/s)
+    kf_dt: jnp.ndarray        # () median keyframe spacing
     # Georeference (held constant, like para_yaw_enu_local/anc const).
     anchor_ecef: jnp.ndarray  # (3,)
     yaw_enu_local: jnp.ndarray
@@ -140,6 +145,10 @@ def build_problem(cfg: GlioConfig, p_odo, q_odo, kf_time, gnss,
         system=jnp.asarray(gnss.system, jnp.int32),
         master=jnp.asarray(gnss.master, jnp.int32),
         whiten=jnp.asarray(whiten),
+        sat_vel=jnp.asarray(gnss.sat_vel),
+        sat_ddt=jnp.asarray(gnss.sat_ddt),
+        dopp=jnp.asarray(gnss.dopp_rov),
+        kf_dt=jnp.asarray(float(kf_dt)),
         anchor_ecef=jnp.asarray(anchor_ecef),
         yaw_enu_local=jnp.asarray(float(yaw_enu_local)),
         station_ecef=jnp.asarray(station_ecef),
@@ -202,13 +211,19 @@ def _retract(p, q, dx):
     return p + d[:, :3], quat.normalize(quat.mul(q, quat.exp(d[:, 3:6])))
 
 
-def _total_cost(p, q, prob, threshold):
+def _total_cost(p, q, prob, threshold, use_doppler: bool = False):
     r1 = _rel_residuals(p, q, prob)
     r2 = _dd_residuals(p, prob, threshold)
-    return 0.5 * (jnp.sum(r1 * r1) + jnp.sum(r2 * r2))
+    c = 0.5 * (jnp.sum(r1 * r1) + jnp.sum(r2 * r2))
+    if use_doppler:
+        r3 = _dopp_residuals(p, prob, prob.kf_dt, prob.sat_vel,
+                             prob.sat_ddt, prob.dopp)
+        c = c + 0.5 * jnp.sum(r3 * r3)
+    return c
 
 
-def _assemble(p, q, prob: BatchProblem, threshold, hw: int):
+def _assemble(p, q, prob: BatchProblem, threshold, hw: int,
+              use_doppler: bool = False):
     """Band + gradient assembly via per-factor autodiff."""
     T = p.shape[0]
     B = 2 * hw + 1
@@ -292,6 +307,47 @@ def _assemble(p, q, prob: BatchProblem, threshold, hw: int):
     band = banded.scatter_add_blocks(band, k1_idx, k1_idx, Hjj, hw)
     grad = grad.at[k_idx].add(gi).at[k1_idx].add(gj)
 
+    if use_doppler:
+        # Doppler couples the translations of poses (li−1 .. li+2) through
+        # the central-difference velocities (attitude-free rows).
+        T_ = p.shape[0]
+
+        def dop_fn(d4, left, ratio, valid, sat_pos, sv, sddt, meas,
+                   sv_valid):
+            # d4: (4, 3) translation deltas for poses li−1..li+2.
+            pp = p.at[jnp.maximum(left - 1, 0)].add(d4[0])
+            pp = pp.at[left].add(d4[1])
+            pp = pp.at[left + 1].add(d4[2])
+            pp = pp.at[jnp.minimum(left + 2, T_ - 1)].add(d4[3])
+            prob1 = prob._replace(
+                ep_left=left[None], ep_ratio=ratio[None],
+                ep_valid=valid[None], sat_pos=sat_pos[None],
+                sv_valid=sv_valid[None])
+            return _dopp_residuals(pp, prob1, prob.kf_dt, sv[None],
+                                   sddt[None], meas[None])[0]
+
+        zero4 = jnp.zeros((4, 3), F64)
+        res_d, J4 = jax.vmap(
+            lambda *a: (dop_fn(zero4, *a),
+                        jax.jacfwd(dop_fn)(zero4, *a)))(
+            prob.ep_left, prob.ep_ratio, prob.ep_valid, prob.sat_pos,
+            prob.sat_vel, prob.sat_ddt, prob.dopp, prob.sv_valid)
+        # J4: (E, M, 4, 3). Scatter all 16 block couplings (3x3 in the
+        # translation corner of the 6x6 pose blocks).
+        li = prob.ep_left
+        pose_idx = jnp.stack([jnp.maximum(li - 1, 0), li, li + 1,
+                              jnp.minimum(li + 2, T_ - 1)], axis=1)
+        for a in range(4):
+            ga = jnp.einsum("emi,em->ei", J4[:, :, a, :], res_d)
+            grad = grad.at[pose_idx[:, a], :3].add(ga)
+            for b in range(4):
+                Hab = jnp.einsum("emi,emj->eij", J4[:, :, a, :],
+                                 J4[:, :, b, :])
+                off = pose_idx[:, b] - pose_idx[:, a] + hw
+                blk = jnp.zeros((Hab.shape[0], POSE_DOF, POSE_DOF), F64)
+                blk = blk.at[:, :3, :3].set(Hab)
+                band = band.at[pose_idx[:, a], off].add(blk)
+
     return band, grad
 
 
@@ -305,10 +361,11 @@ def solve_batch_once(cfg: GlioConfig, prob: BatchProblem, p0, q0,
     reference-equivalent); "pcg" uses block-Jacobi PCG (the multi-chip
     shardable path)."""
     hw = cfg.estimator.search_range + 1
+    use_doppler = cfg.estimator.doppler_in_batch
 
     def step(carry, _):
         p, q, lam, cost = carry
-        band, grad = _assemble(p, q, prob, threshold, hw)
+        band, grad = _assemble(p, q, prob, threshold, hw, use_doppler)
         # Levenberg damping on the diagonal blocks.
         D = POSE_DOF
         diag = band[:, hw]
@@ -322,7 +379,7 @@ def solve_batch_once(cfg: GlioConfig, prob: BatchProblem, p0, q0,
         else:
             dx, _ = banded.pcg_solve(band2, -grad, iters=pcg_iters)
         p_new, q_new = _retract(p, q, dx.reshape(-1))
-        new_cost = _total_cost(p_new, q_new, prob, threshold)
+        new_cost = _total_cost(p_new, q_new, prob, threshold, use_doppler)
         better = new_cost < cost
         p = jnp.where(better, p_new, p)
         q = jnp.where(better, q_new, q)
@@ -330,7 +387,7 @@ def solve_batch_once(cfg: GlioConfig, prob: BatchProblem, p0, q0,
         lam = jnp.clip(jnp.where(better, lam * 0.3, lam * 5.0), 1e-9, 1e6)
         return (p, q, lam, cost), cost
 
-    cost0 = _total_cost(p0, q0, prob, threshold)
+    cost0 = _total_cost(p0, q0, prob, threshold, use_doppler)
     (p, q, _, cost), _ = jax.lax.scan(
         step, (p0, q0, jnp.asarray(1e-4, F64), cost0), None,
         length=lm_iters)
@@ -696,3 +753,52 @@ def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
         p, q, cost = solve_once(p, q, jnp.asarray(th, F64))
         costs.append(float(cost))
     return p, q, costs
+
+
+# --- Doppler rows (optional; reference ships them compiled out) --------------
+
+def _dopp_residuals(p, prob: BatchProblem, kf_dt, sat_vel, sat_ddt,
+                    dopp_rng_rate, dopp_var=1.0):
+    """Per-epoch Doppler residuals with the receiver clock drift
+    eliminated analytically.
+
+    The reference's tcdopplerFactor (dopp_factor.hpp:19-85) uses
+    interpolated positions/velocities plus a per-epoch rcv_ddt state tied
+    by constantClockDriftFactor. TPU-first reformulation: velocities from
+    central differences of the pose chain (couples poses k−1..k+1, still
+    inside the band), and rcv_ddt — a scalar appearing linearly in every
+    row of its epoch — projected out in closed form (exact elimination
+    under the row weights), so no per-epoch states enter the solver.
+    """
+    from ..factors.gnss import r_ecef_local
+    R = r_ecef_local(prob.anchor_ecef, prob.yaw_enu_local)
+    OMGE_, CL = 7.2921151467e-5, 299792458.0
+
+    def one(left, ratio, valid, sat_pos, sv, sddt, meas, sv_valid):
+        li = left
+        p_im1 = p[jnp.maximum(li - 1, 0)]
+        p_i = p[li]
+        p_j = p[li + 1]
+        p_jp1 = p[jnp.minimum(li + 2, p.shape[0] - 1)]
+        v_i = (p_j - p_im1) / (2.0 * kf_dt)
+        v_j = (p_jp1 - p_i) / (2.0 * kf_dt)
+        p_local = ratio * p_i + (1.0 - ratio) * p_j
+        v_local = ratio * v_i + (1.0 - ratio) * v_j
+        P = R @ p_local + prob.anchor_ecef
+        V = R @ v_local
+        d = sat_pos - P
+        los = d / jnp.maximum(jnp.linalg.norm(d, axis=-1), 1.0)[:, None]
+        sagnac = OMGE_ / CL * (
+            sv[:, 0] * P[1] + sat_pos[:, 0] * V[1]
+            - sv[:, 1] * P[0] - sat_pos[:, 1] * V[0])
+        est = jnp.sum((sv - V) * los, axis=-1) + sagnac - sddt
+        a = est - meas                       # residual before +rcv_ddt
+        w = sv_valid.astype(a.dtype)
+        n = jnp.maximum(jnp.sum(w), 1.0)
+        ddt_opt = -jnp.sum(w * a) / n        # closed-form elimination
+        r = (a + ddt_opt) / dopp_var
+        return jnp.where(valid & (sv_valid & True), jnp.where(sv_valid, r, 0.0), 0.0)
+
+    return jax.vmap(one)(prob.ep_left, prob.ep_ratio, prob.ep_valid,
+                         prob.sat_pos, sat_vel, sat_ddt, dopp_rng_rate,
+                         prob.sv_valid)

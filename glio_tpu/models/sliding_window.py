@@ -434,6 +434,28 @@ def make_replay(cfg: GlioConfig):
                 c.prior_sqrt_jac, c.prior_sqrt_res, c.prior_valid,
                 c.prior_lin, gravity, gnss_win)
 
+        # f32 twin for the LM Jacobian: all measurement tensors cast once;
+        # state casts inside. GNSS rows stay f64 (pseudorange magnitudes).
+        F32c = jnp.float32
+        pres32 = jax.tree.map(lambda a: a.astype(F32c), pres)
+        imu_S32 = imu_S.astype(F32c)
+        lidar_meas32 = tuple(
+            a.astype(F32c) if a.dtype != jnp.bool_ else a
+            for a in lidar_meas)
+        prior_sj32 = c.prior_sqrt_jac.astype(F32c)
+        prior_sr32 = c.prior_sqrt_res.astype(F32c)
+        prior_lin32 = jax.tree.map(lambda a: a.astype(F32c), c.prior_lin)
+        gravity32 = gravity.astype(F32c)
+
+        def residual32(s):
+            s32 = jax.tree.map(lambda a: a.astype(F32c), s)
+            r = _window_residual(
+                cfg, s32, pres32, imu_S32, imu_edge_valid, lidar_meas32,
+                prior_sj32, prior_sr32, c.prior_valid, prior_lin32,
+                gravity32,
+                None if not est.gnss_in_sliding_window else gnss_win)
+            return r.astype(F32c)
+
         # Gauge handling during warm-up (before the first marginalization
         # prior exists): pin frame 0's POSE only — pinning velocity would
         # freeze a biased IMU prediction and let (v0, ba) lock onto a
@@ -457,9 +479,23 @@ def make_replay(cfg: GlioConfig):
                 10.0 * s.ba.reshape(-1), 30.0 * s.bg.reshape(-1)])
             return jnp.concatenate([r, anchor, bias_reg])
 
+        def residual_anchored32(s):
+            r = residual32(s)
+            s32 = jax.tree.map(lambda a: a.astype(F32c), s)
+            anchor = jnp.concatenate([
+                1e2 * (s32.p[0] - w_new.p[0].astype(F32c)),
+                1e2 * quat.log(quat.mul(
+                    quat.conj(w_new.q[0].astype(F32c)), s32.q[0])),
+            ])
+            anchor = jnp.where(c.prior_valid, jnp.zeros_like(anchor), anchor)
+            bias_reg = jnp.concatenate([
+                10.0 * s32.ba.reshape(-1), 30.0 * s32.bg.reshape(-1)])
+            return jnp.concatenate([r, anchor, bias_reg])
+
         out = dense.lm_solve(
             residual_anchored, retract, w_new, K * POSE_DOF,
-            max_iters=est.sw_max_iter)
+            max_iters=est.sw_max_iter,
+            residual32_fn=residual_anchored32)
         solved = out.x
 
         # Divergence gates (Estimator.cpp:2650-2726): reject absurd
@@ -537,6 +573,35 @@ def make_replay(cfg: GlioConfig):
             n_lidar_factors=jnp.sum(lidar_meas[4]).astype(jnp.int32))
         return new_carry, out_rec
 
+    def make_initial_carry(p0, q0, v0, acc0=None, gyr0=None,
+                           inputs_template=None):
+        """Fresh carry for replay_from; inputs_template is one stacked
+        KeyframeInput (shapes taken from it, like replay() does)."""
+        base = init_carry(cfg, p0, q0, v0)
+        if acc0 is not None:
+            base = base._replace(last_acc=jnp.asarray(acc0, F64),
+                                 last_gyr=jnp.asarray(gyr0, F64))
+        ni = inputs_template.imu_acc.shape[-2]
+        gnss0 = jax.tree.map(
+            lambda a: jnp.zeros((K,) + a.shape[1:], a.dtype),
+            inputs_template.gnss)
+        return Carry(
+            base,
+            imu_acc=jnp.zeros((K - 1, ni, 3), F64),
+            imu_gyr=jnp.zeros((K - 1, ni, 3), F64),
+            imu_dt=jnp.zeros((K - 1, ni), F64),
+            imu_valid=jnp.zeros((K - 1, ni), bool),
+            imu_seed=jnp.zeros((K - 1, 6), F64),
+            gnss_win=gnss0,
+        )
+
+    @jax.jit
+    def replay_from(carry, inputs: KeyframeInput):
+        """Resume a replay from a saved carry (checkpoint/resume API —
+        the estimator state is one pytree; see utils.checkpoint). Returns
+        (final_carry, outputs); bit-identical to an uninterrupted run."""
+        return jax.lax.scan(step, carry, inputs)
+
     def replay(inputs: KeyframeInput, p0, q0, v0, acc0=None, gyr0=None):
         base = init_carry(cfg, p0, q0, v0)
         if acc0 is not None:
@@ -557,4 +622,7 @@ def make_replay(cfg: GlioConfig):
         final, outs = jax.lax.scan(step, carry, inputs)
         return outs
 
-    return jax.jit(replay), step
+    replay_jit = jax.jit(replay)
+    replay_jit.make_initial_carry = make_initial_carry
+    replay_jit.replay_from = replay_from
+    return replay_jit, step

@@ -62,6 +62,7 @@ def lm_solve(
     lambda_min: float = 1e-10,
     lambda_max: float = 1e8,
     dtype=jnp.float64,
+    residual32_fn=None,
 ) -> LMResult:
     """Levenberg–Marquardt on a manifold.
 
@@ -72,6 +73,11 @@ def lm_solve(
       x0: initial state pytree.
       tangent_dim: dimension of the tangent space.
       max_iters: fixed trace-time iteration count (reference budget: 15).
+      residual32_fn: optional float32 twin of residual_fn. When given, the
+        Jacobian is forward-differentiated through it instead (TPU f64 is
+        emulated; an f32 J costs ~ a third). Residual values, costs and
+        accept/reject stay f64, so the converged solution is unchanged to
+        ~1e-5 relative step accuracy — LM re-evaluates the true cost.
 
     Returns LMResult. Fully jit-compatible.
     """
@@ -79,7 +85,13 @@ def lm_solve(
 
     def linearize(x):
         r = residual_fn(x)
-        J = jax.jacfwd(lambda d: residual_fn(retract_fn(x, d)))(zeros)
+        if residual32_fn is None:
+            J = jax.jacfwd(lambda d: residual_fn(retract_fn(x, d)))(zeros)
+        else:
+            z32 = jnp.zeros(tangent_dim, jnp.float32)
+            J = jax.jacfwd(
+                lambda d: residual32_fn(
+                    retract_fn(x, d.astype(dtype))))(z32).astype(dtype)
         return r, J
 
     def step(carry, _):

@@ -100,3 +100,77 @@ def test_sms1_binary_plane_mode():
     e0 = np.linalg.norm(p_odo - ep.gt_p, axis=-1)
     e1 = np.linalg.norm(np.asarray(p) - ep.gt_p, axis=-1)
     assert e1.mean() < 0.6 * e0.mean(), (e0.mean(), e1.mean())
+
+
+def test_doppler_residuals_zero_at_truth():
+    """Doppler rows (FD velocities, clock drift eliminated) vanish at the
+    true trajectory on synthetic epochs."""
+    from glio_tpu.data.simulator import simulate_episode, simulate_gnss_epochs
+    from glio_tpu.utils import coords as C
+    cfg = GlioConfig()
+    T = 40
+    kf_time = np.arange(T) / 3.0
+    t = np.linspace(0, 2, T)
+    p_true = np.stack([20 * t, 5 * t ** 2, np.zeros_like(t)], -1)
+    q_true = np.tile([1.0, 0, 0, 0], (T, 1))
+    gnss = simulate_gnss_epochs(p_true, kf_time, ANCHOR, STATION,
+                                psr_noise=0.0, epoch_stride=2, seed=1)
+    # Synthesize exact range-rates from FD velocities of the truth.
+    kf_dt = 1 / 3.0
+    ecef = np.asarray(C.enu2ecef(jnp.asarray(p_true), jnp.asarray(ANCHOR)))
+    E = gnss.time.shape[0]
+    left = np.searchsorted(kf_time, gnss.time, side="right") - 1
+    left = np.clip(left, 0, T - 2)
+    OMGE_, CL = 7.2921151467e-5, 299792458.0
+    for e in range(E):
+        li = left[e]
+        ratio = (kf_time[li + 1] - gnss.time[e]) / kf_dt
+        v_i = (p_true[min(li + 1, T - 1)] - p_true[max(li - 1, 0)]) / (2 * kf_dt)
+        v_j = (p_true[min(li + 2, T - 1)] - p_true[li]) / (2 * kf_dt)
+        p_loc = ratio * p_true[li] + (1 - ratio) * p_true[li + 1]
+        v_loc = ratio * v_i + (1 - ratio) * v_j
+        R = np.asarray(C.ecef2enu_rotmat(C.ecef2llh(jnp.asarray(ANCHOR)))).T
+        P = R @ p_loc + ANCHOR
+        V = R @ v_loc
+        for s in range(32):
+            if not gnss.valid[e, s]:
+                continue
+            d = gnss.sat_pos[e, s] - P
+            los = d / np.linalg.norm(d)
+            sag = OMGE_ / CL * (
+                gnss.sat_vel[e, s, 0] * P[1] + gnss.sat_pos[e, s, 0] * V[1]
+                - gnss.sat_vel[e, s, 1] * P[0] - gnss.sat_pos[e, s, 1] * V[0])
+            gnss.dopp_rov[e, s] = ((gnss.sat_vel[e, s] - V) @ los + sag
+                                   + 3.0)  # +3 m/s receiver clock drift
+    prob = B.build_problem(cfg, p_true, q_true, kf_time, gnss,
+                           ANCHOR, 0.0, STATION)
+    r = B._dopp_residuals(jnp.asarray(p_true), prob, kf_dt,
+                          jnp.asarray(gnss.sat_vel),
+                          jnp.asarray(gnss.sat_ddt),
+                          jnp.asarray(gnss.dopp_rov))
+    r = np.asarray(r)
+    nz = np.abs(r[np.asarray(prob.ep_valid)])
+    # Clock drift (3 m/s) must be eliminated; residuals ~0.
+    assert nz.max() < 1e-6, nz.max()
+
+
+def test_doppler_in_batch_flag():
+    """doppler_in_batch=True assembles and improves velocity consistency."""
+    from glio_tpu.data.simulator import simulate_gnss_epochs
+    cfg = GlioConfig().replace(
+        estimator=GlioConfig().estimator.__class__(doppler_in_batch=True))
+    rng = np.random.default_rng(8)
+    T = 60
+    kf_time = np.arange(T) / 3.0
+    t = np.linspace(0, 2, T)
+    p_true = np.stack([25 * t, 8 * np.sin(t), np.zeros_like(t)], -1)
+    q_true = np.tile([1.0, 0, 0, 0], (T, 1))
+    gnss = simulate_gnss_epochs(p_true, kf_time, ANCHOR, STATION,
+                                psr_noise=0.5, seed=8)
+    p_odo = p_true + 0.5 * rng.normal(size=p_true.shape)
+    prob = B.build_problem(cfg, p_odo, q_true, kf_time, gnss,
+                           ANCHOR, 0.0, STATION)
+    p, q, costs = B.optimize_batch(cfg, prob, thresholds=(1e9, 10.0),
+                                   lm_iters=5)
+    assert np.isfinite(np.asarray(p)).all()
+    assert costs[-1] <= costs[0]

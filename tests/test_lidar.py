@@ -251,3 +251,49 @@ class TestPoseFactors:
         z = jnp.zeros((1, 3))
         r = pose_factors.speed_bias_prior_residual(v, z, z, z, z, z)
         np.testing.assert_allclose(r[0, :3], [8.0, 8.0, 1.0])
+
+
+class TestFullFrontendStack:
+    def test_preprocess_then_odometry_on_simulated_range_images(self):
+        """Raw range images → LOAM features → scan-to-map odometry: the
+        full front-end stack (Preprocessing + LidarOdometry node parity)
+        on simulated world geometry."""
+        from glio_tpu.config import GlioConfig, LidarOdometryConfig, ShapeConfig
+        from glio_tpu.data.simulator import (PlaneWorld, raycast_scan,
+                                             simulate_episode)
+        from glio_tpu.models.lidar_odometry import make_odometry
+        from glio_tpu.models.preprocessing import make_preprocessor
+
+        cfg = GlioConfig().replace(
+            shapes=ShapeConfig(scan_points=512),
+            lidar_odometry=LidarOdometryConfig(local_map_frames=8,
+                                               max_num_iter=8))
+        # 10 Hz frames like the reference's odometry input — the weight
+        # gate (>0.4, LidarOdometry.cpp:389-396) assumes cm-scale
+        # prediction error, which keyframe-scale hops violate.
+        ep = simulate_episode(n_keyframes=8, kf_dt=0.1, scan_points=256,
+                              seed=23, scan_noise=0.01, q_lb=(1, 0, 0, 0),
+                              t_lb=(0, 0, 0))
+        world = PlaneWorld(extent=max(200.0, np.abs(ep.gt_p).max() + 80.0),
+                           seed=23)
+        pre = make_preprocessor(cfg, surf_out=512)
+        surfs = np.zeros((8, 512, 3), np.float32)
+        surfs_valid = np.zeros((8, 512), bool)
+        for k in range(8):
+            Rwb = np.asarray(quat.to_rotmat(jnp.asarray(ep.gt_q[k])))
+            img, iv = raycast_scan(world, ep.gt_p[k], Rwb, n_rings=16,
+                                   n_cols=360,
+                                   rng=np.random.default_rng(100 + k))
+            feats = pre(jnp.asarray(img), jnp.asarray(iv))
+            surfs[k] = np.asarray(feats.surf)
+            surfs_valid[k] = np.asarray(feats.surf_valid)
+        assert surfs_valid.sum() > 500  # features actually extracted
+
+        run = make_odometry(cfg)
+        out = run(jnp.asarray(surfs), jnp.asarray(surfs_valid),
+                  ep.gt_p[0], ep.gt_q[0])
+        err = np.linalg.norm(np.asarray(out.p) - ep.gt_p, axis=-1)
+        # Sparse surf-feature clouds (voxel-filtered) over a random plane
+        # world: decimetre-to-metre tracking expected at this density.
+        assert err.max() < 1.5, err
+        assert err[-1] < 1.2

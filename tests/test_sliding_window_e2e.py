@@ -102,3 +102,32 @@ def test_gnss_in_window_bounds_drift():
     # GNSS keeps the tail bounded near DD accuracy.
     assert err_on[-5:].mean() < max(1.5, 0.8 * err_off[-5:].mean())
     assert err_on.max() < 5.0
+
+
+def test_checkpoint_resume_bit_identical(tmp_path):
+    """Split the replay at keyframe 5, checkpoint the carry to disk, resume
+    — outputs must equal the uninterrupted run exactly."""
+    import jax
+    from glio_tpu.utils import checkpoint
+
+    ep = simulate_episode(n_keyframes=10, scan_points=512, seed=13)
+    cfg = CFG
+    replay, _ = make_replay(cfg)
+    inputs = ep.to_inputs()
+    full = replay(inputs, ep.p0, ep.q0, ep.v0, ep.acc0, ep.gyr0)
+
+    carry0 = replay.make_initial_carry(
+        jnp.asarray(ep.p0), jnp.asarray(ep.q0), jnp.asarray(ep.v0),
+        ep.acc0, ep.gyr0, inputs_template=inputs)
+    head = jax.tree.map(lambda a: a[:5], inputs)
+    tail = jax.tree.map(lambda a: a[5:], inputs)
+    carry1, out_head = replay.replay_from(carry0, head)
+    path = str(tmp_path / "carry.npz")
+    checkpoint.save_pytree(path, carry1)
+    carry1b = checkpoint.load_pytree(path, carry1)
+    _, out_tail = replay.replay_from(carry1b, tail)
+
+    np.testing.assert_array_equal(np.asarray(out_head.p),
+                                  np.asarray(full.p[:5]))
+    np.testing.assert_array_equal(np.asarray(out_tail.p),
+                                  np.asarray(full.p[5:]))
