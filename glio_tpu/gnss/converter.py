@@ -64,11 +64,13 @@ def convert(rover_obs_path: str, nav_path: str,
     from . import native as native_mod
     if native_mod.available():
         obs = native_mod.parse_obs_native(rover_obs_path, opts.systems)
+        nav_parse = native_mod.parse_nav_native
     else:
         obs = parse_obs(rover_obs_path, systems=opts.systems)
+        nav_parse = parse_nav
     if opts.max_epochs:
         obs.epochs = obs.epochs[: opts.max_epochs]
-    nav = parse_nav(nav_path)
+    nav = nav_parse(nav_path)
     sta_by_time: Dict[float, dict] = {}
     if station_obs_path:
         for ep in parse_obs(station_obs_path, systems=opts.systems).epochs:

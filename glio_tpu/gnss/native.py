@@ -88,3 +88,64 @@ def parse_obs_native(path: str, systems: str = "GREC") -> ObsData:
             time=float(t[k]), sats=sats, psr=psr[idx], carrier=car[idx],
             doppler=dop[idx], snr=snr[idx], lli=lli[idx]))
     return out
+
+
+def parse_nav_native(path: str):
+    """Native-decode a RINEX 3 nav file → same dict as rinex.parse_nav."""
+    from .rinex import (BDS_TIME_OFFSET, BDS_WEEK_OFFSET, Ephemeris,
+                        SYS_CHAR, civil2gps)
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("librinex_fast.so not built")
+    lib.rinex_nav_open.restype = ctypes.c_void_p
+    lib.rinex_nav_open.argtypes = [ctypes.c_char_p]
+    lib.rinex_nav_count.restype = ctypes.c_long
+    lib.rinex_nav_count.argtypes = [ctypes.c_void_p]
+    lib.rinex_nav_records.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+    lib.rinex_nav_close.argtypes = [ctypes.c_void_p]
+
+    h = lib.rinex_nav_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        n = lib.rinex_nav_count(h)
+        sysc = np.zeros(n, np.int8)
+        prn = np.zeros(n, np.int32)
+        toc = np.zeros((n, 6), np.int32)
+        clock = np.zeros((n, 3))
+        body = np.zeros((n, 28))
+        lib.rinex_nav_records(h, sysc.ctypes.data, prn.ctypes.data,
+                              toc.ctypes.data, clock.ctypes.data,
+                              body.ctypes.data)
+    finally:
+        lib.rinex_nav_close(h)
+
+    out = {}
+    for i in range(n):
+        sys_c = chr(sysc[i])
+        b = body[i]
+        toe = b[8]
+        toes = b[8]
+        toc_week, toc_tow = civil2gps(*toc[i])
+        if sys_c == "C":
+            week = int(b[18]) + BDS_WEEK_OFFSET
+            toe = toe + BDS_TIME_OFFSET
+            toc_tow += BDS_TIME_OFFSET
+            if toc_tow >= 604800.0:
+                toc_tow -= 604800.0
+                toc_week += 1
+        else:
+            week = int(b[18])
+        e = Ephemeris(
+            sys=SYS_CHAR[sys_c], prn=int(prn[i]), week=week, toe=toe,
+            toc=toc_week * 604800.0 + toc_tow - week * 604800.0, toes=toes,
+            af0=clock[i][0], af1=clock[i][1], af2=clock[i][2],
+            crs=b[1], delta_n=b[2], m0=b[3],
+            cuc=b[4], e=b[5], cus=b[6], sqrt_a=b[7],
+            cic=b[9], omega0=b[10], cis=b[11],
+            i0=b[12], crc=b[13], omega=b[14], omega_dot=b[15],
+            idot=b[16], sva=b[20], health=b[21], tgd=b[22])
+        out.setdefault(f"{sys_c}{prn[i]:02d}", []).append(e)
+    for sat in out:
+        out[sat].sort(key=lambda e: e.week * 604800.0 + e.toe)
+    return out

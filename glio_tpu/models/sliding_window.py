@@ -278,24 +278,35 @@ def _marginalize_oldest(cfg: GlioConfig, state: WindowState, pres, imu_sqrt_info
     q_lb = jnp.asarray(est.ql2b, F64)
     t_lb = jnp.asarray(est.tl2b, F64)
 
-    def res_fn(delta):
-        s = retract(state, delta)
-        dx = local_coordinates(s, prior_lin)
-        r_prior = prior_sqrt_res + prior_sqrt_jac @ dx
+    def res_fn(delta, dtype):
+        s = retract(state, delta.astype(F64))
+        s = jax.tree.map(lambda a: a.astype(dtype), s)
+        lin = jax.tree.map(lambda a: a.astype(dtype), prior_lin)
+        dx = local_coordinates(s, lin)
+        r_prior = (prior_sqrt_res.astype(dtype)
+                   + prior_sqrt_jac.astype(dtype) @ dx)
         r_prior = jnp.where(prior_valid, r_prior, jnp.zeros_like(r_prior))
-        pre0 = jax.tree.map(lambda a: a[0], pres)
+        pre0 = jax.tree.map(lambda a: a[0].astype(dtype), pres)
         r_imu = imu_factors.whitened_residual_cached(
-            imu_sqrt_info[0], pre0, s.p[0], s.q[0], s.v[0], s.ba[0], s.bg[0],
-            s.p[1], s.q[1], s.v[1], s.ba[1], s.bg[1], gravity=gravity)
+            imu_sqrt_info[0].astype(dtype), pre0,
+            s.p[0], s.q[0], s.v[0], s.ba[0], s.bg[0],
+            s.p[1], s.q[1], s.v[1], s.ba[1], s.bg[1],
+            gravity=gravity.astype(dtype))
         r_imu = jnp.where(imu_edge_valid[0], r_imu, jnp.zeros_like(r_imu))
         r_lid = lidar_factors.plane_norm_residual(
-            pts[0], nrm[0], d[0], score[0], s.p[0], s.q[0], q_lb, t_lb, mask[0])
+            pts[0].astype(dtype), nrm[0].astype(dtype), d[0].astype(dtype),
+            score[0].astype(dtype), s.p[0], s.q[0], q_lb.astype(dtype),
+            t_lb.astype(dtype), mask[0])
         r_lid = r_lid * dense.huber_weight(r_lid, 1.0)
         return jnp.concatenate([r_prior, r_imu, r_lid])
 
     zero = jnp.zeros(n, F64)
-    r = res_fn(zero)
-    J = jax.jacfwd(res_fn)(zero)
+    r = res_fn(zero, F64)
+    # f32 Jacobian (same trick as the window LM: the GN quadratic model is
+    # insensitive to 1e-5-relative J error; H/b accumulate in f64).
+    J = jax.jacfwd(
+        lambda d32: res_fn(d32, jnp.float32))(
+        jnp.zeros(n, jnp.float32)).astype(F64)
     H = J.T @ J
     b = J.T @ r
     new_prior = marginalization.marginalize(H, b, POSE_DOF)

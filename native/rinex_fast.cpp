@@ -211,3 +211,108 @@ void rinex_obs_records(void* h, int* epoch, char* sys, int* prn, double* psr,
 void rinex_obs_close(void* h) { delete (ParseResult*)h; }
 
 }  // extern "C"
+
+// ---- RINEX 3 navigation (ephemeris) decoder --------------------------------
+
+namespace {
+
+struct NavRecord {
+  char sys;
+  int prn;
+  int toc_y, toc_mo, toc_d, toc_h, toc_mi, toc_s;
+  double clock[3];
+  double body[28];
+};
+
+struct NavResult {
+  std::vector<NavRecord> records;
+};
+
+double dfield(const char* s, int start, int len, int linelen) {
+  if (start >= linelen) return nan("");
+  char buf[32];
+  int n = 0;
+  for (int i = start; i < start + len && i < linelen && n < 31; i++) {
+    char c = s[i];
+    if (c == 'D' || c == 'd') c = 'E';
+    if (!isspace((unsigned char)c) || n > 0) buf[n++] = c;
+  }
+  while (n > 0 && isspace((unsigned char)buf[n - 1])) n--;
+  if (n == 0) return nan("");
+  buf[n] = 0;
+  char* end = nullptr;
+  double v = strtod(buf, &end);
+  if (end == buf) return nan("");
+  return v;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* rinex_nav_open(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* res = new NavResult();
+  char line[256];
+  // Skip header.
+  while (fgets(line, sizeof line, f)) {
+    if (strstr(line, "END OF HEADER")) break;
+  }
+  while (fgets(line, sizeof line, f)) {
+    int len = (int)strlen(line);
+    char sys = line[0];
+    if (sys == 'R') {  // GLONASS: 4-line state-vector records, skip.
+      for (int i = 0; i < 3; i++) fgets(line, sizeof line, f);
+      continue;
+    }
+    if (sys != 'G' && sys != 'C' && sys != 'E') continue;
+    NavRecord r;
+    r.sys = sys;
+    r.prn = atoi(std::string(line + 1, 2).c_str());
+    r.toc_y = atoi(std::string(line + 4, 4).c_str());
+    r.toc_mo = atoi(std::string(line + 9, 2).c_str());
+    r.toc_d = atoi(std::string(line + 12, 2).c_str());
+    r.toc_h = atoi(std::string(line + 15, 2).c_str());
+    r.toc_mi = atoi(std::string(line + 18, 2).c_str());
+    r.toc_s = atoi(std::string(line + 21, 2).c_str());
+    for (int k = 0; k < 3; k++)
+      r.clock[k] = dfield(line, 23 + 19 * k, 19, len);
+    bool ok = true;
+    for (int l = 0; l < 7 && ok; l++) {
+      if (!fgets(line, sizeof line, f)) { ok = false; break; }
+      int ll = (int)strlen(line);
+      for (int k = 0; k < 4; k++)
+        r.body[l * 4 + k] = dfield(line, 4 + 19 * k, 19, ll);
+    }
+    if (ok) res->records.push_back(r);
+  }
+  fclose(f);
+  return res;
+}
+
+long rinex_nav_count(void* h) {
+  return (long)((NavResult*)h)->records.size();
+}
+
+void rinex_nav_records(void* h, char* sys, int* prn, int* toc,
+                       double* clock, double* body) {
+  auto* r = (NavResult*)h;
+  for (size_t i = 0; i < r->records.size(); i++) {
+    const NavRecord& rec = r->records[i];
+    sys[i] = rec.sys;
+    prn[i] = rec.prn;
+    toc[6 * i + 0] = rec.toc_y;
+    toc[6 * i + 1] = rec.toc_mo;
+    toc[6 * i + 2] = rec.toc_d;
+    toc[6 * i + 3] = rec.toc_h;
+    toc[6 * i + 4] = rec.toc_mi;
+    toc[6 * i + 5] = rec.toc_s;
+    memcpy(clock + 3 * i, rec.clock, sizeof rec.clock);
+    memcpy(body + 28 * i, rec.body, sizeof rec.body);
+  }
+}
+
+void rinex_nav_close(void* h) { delete (NavResult*)h; }
+
+}  // extern "C"

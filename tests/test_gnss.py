@@ -198,6 +198,20 @@ class TestDoppler:
 
 
 class TestNativeDecoder:
+    def test_native_nav_matches_python(self):
+        from glio_tpu.gnss import native
+        if not native.available():
+            pytest.skip("librinex_fast.so not built")
+        a = native.parse_nav_native(NAV)
+        b = rinex.parse_nav(NAV)
+        assert set(a.keys()) == set(b.keys())
+        for sat in list(a.keys())[::7]:
+            for ea, eb in zip(a[sat], b[sat]):
+                for f in ("week", "toe", "toes", "af0", "sqrt_a", "m0",
+                          "omega0", "tgd"):
+                    va, vb = getattr(ea, f), getattr(eb, f)
+                    assert (np.isnan(va) and np.isnan(vb)) or va == vb
+
     def test_native_matches_python(self):
         from glio_tpu.gnss import native
         if not native.available():
