@@ -77,7 +77,11 @@ def convert(rover_obs_path: str, nav_path: str,
             sta_by_time[round(ep.time, 2)] = dict(zip(ep.sats, ep.psr))
 
     station_ecef = np.asarray(station_ecef, float)
-    approx = obs.approx_pos if obs.approx_pos is not None else station_ecef
+    approx = obs.approx_pos
+    if approx is None or np.linalg.norm(approx) < 1e6:
+        # Missing/zero APPROX POSITION header (the TST f9p file) — fall
+        # back to the base station for elevation/atmosphere geometry.
+        approx = station_ecef
 
     # ---- pass 1: flatten (epoch, sat) records with ephemeris picks ----
     ep_idx, ephs, psr, dopp, snr, sats = [], [], [], [], [], []

@@ -364,6 +364,10 @@ def make_replay(cfg: GlioConfig):
         newest = K - 1
         first = c.kf_count == 0
 
+        # IMU accel sanity clamp (reference: saveKeyFramesAndFactors clamps
+        # spikes at +/-15..18 m/s^2, Estimator.cpp:4176-4182).
+        inp = inp._replace(imu_acc=jnp.clip(inp.imu_acc, -18.0, 18.0))
+
         # 1. Predict incoming keyframe by IMU propagation from newest.
         p_pred, q_pred, v_pred, a_last, g_last = _propagate_imu(
             w.p[newest], w.q[newest], w.v[newest], w.ba[newest], w.bg[newest],

@@ -1,0 +1,33 @@
+"""Scale/stability validation: long simulated episode through the full
+pipeline on the available accelerator (TPU when present)."""
+import sys
+import time
+
+import numpy as np
+
+from glio_tpu.config import GlioConfig, ShapeConfig, EstimatorConfig
+from glio_tpu.data.simulator import simulate_episode, simulate_gnss_epochs
+from glio_tpu.pipeline import run_pipeline
+
+n_kf = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+cfg = GlioConfig().replace(
+    shapes=ShapeConfig(max_imu_per_interval=40, scan_points=1024,
+                       map_points=16384),
+    estimator=EstimatorConfig(local_map_width=20, sw_max_iter=15),
+)
+print(f"simulating {n_kf} keyframes...", flush=True)
+ep = simulate_episode(n_keyframes=n_kf, scan_points=1024, seed=3)
+ep.gnss = simulate_gnss_epochs(
+    ep.gt_p, ep.kf_time, np.asarray(cfg.initialization.anc_ecef),
+    np.asarray(cfg.initialization.station_ecef), psr_noise=0.5, seed=3)
+t0 = time.time()
+res = run_pipeline(ep, cfg, out_dir="/tmp/long_run")
+dt = time.time() - t0
+L = np.sum(np.linalg.norm(np.diff(ep.gt_p, axis=0), axis=-1))
+print(f"pipeline done in {dt:.0f}s for {n_kf} kf over {L:.0f} m", flush=True)
+for name, p in [("sw", res.p_sw), ("batch", res.p_batch), ("lc", res.p_lc)]:
+    if p is None:
+        continue
+    e = np.linalg.norm(p - ep.gt_p, axis=-1)
+    print(f"{name:6s} ATE rmse {np.sqrt((e**2).mean()):.3f} m  "
+          f"max {e.max():.3f} m  ({100*e.max()/L:.2f}% of path)", flush=True)

@@ -252,3 +252,33 @@ class TestGnssTools:
                                          np.array([np.pi / 2, 0.0]))
         np.testing.assert_allclose([x[0], y[0]], [0, 0], atol=1e-12)
         np.testing.assert_allclose([x[1], y[1]], [1, 0], atol=1e-12)
+
+
+class TestSecondSequence:
+    """Multi-sequence capability: the TST (light-urban) dataset with a
+    multi-constellation F9P receiver (BASELINE.json configs list)."""
+    TST = "/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/tst20210517"
+
+    @pytest.mark.skipif(not os.path.exists(
+        "/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/tst20210517"),
+        reason="TST dataset absent")
+    def test_tst_spp(self):
+        g = converter.convert(
+            f"{self.TST}/20210517.light-urban.tste.ublox.f9p.obs",
+            f"{self.TST}/hksc137c.nav",
+            station_ecef=STATION,
+            opts=converter.ConvertOptions(max_epochs=40, systems="GEC"))
+        assert g.valid.sum(1).mean() > 6
+        x0 = jnp.asarray(STATION, jnp.float64)
+        pos, clk, ok, rms = spp.solve_epochs(
+            jnp.asarray(g.sat_pos), jnp.asarray(g.psr_rov_corr),
+            jnp.asarray(g.system), jnp.asarray(g.valid),
+            jnp.asarray(g.elevation), jnp.asarray(g.snr), x0)
+        okn = np.asarray(ok)
+        assert okn.sum() > 30
+        llh = np.asarray(C.ecef2llh(pos))[okn]
+        lat, lon = np.rad2deg(llh[:, 0]), np.rad2deg(llh[:, 1])
+        # TST East, Hong Kong.
+        assert np.all(np.abs(np.median(lat) - 22.29) < 0.02)
+        assert np.all(np.abs(np.median(lon) - 114.18) < 0.02)
+        assert np.median(np.asarray(rms)[okn]) < 20.0
