@@ -261,6 +261,7 @@ def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,
     with zero atmosphere so DD is exact up to `psr_noise`.
     """
     from ..data.episode import GnssEpochs
+    from ..gnss.converter import _azel_np
     from ..utils import coords as C
     import jax.numpy as jnp
 
@@ -295,13 +296,16 @@ def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,
         t = g.time[e] - g.time[0]
         rov = gt_ecef[min(k, len(gt_ecef) - 1)]
         clk = 1e-3 * CL * (1 + 1e-8 * t)  # receiver clock (m)
+        # Vectorized (pure numpy — a jnp call per satellite would pay the
+        # per-dispatch latency thousands of times on remote backends).
+        axis = omega * t
+        d = dirs + np.cross(axis, dirs)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        sats = anchor_ecef + 2.2e7 * d
+        _, els = _azel_np(rov, sats)
         for s in range(n_sats):
-            axis = omega[s] * t
-            d = dirs[s] + np.cross(axis, dirs[s])
-            d /= np.linalg.norm(d)
-            sat = anchor_ecef + 2.2e7 * d
-            el = float(np.asarray(C.sat_azel(jnp.asarray(rov),
-                                             jnp.asarray(sat))[1]))
+            sat = sats[s]
+            el = float(els[s])
             if el < np.deg2rad(15):
                 continue
             rho_u = np.linalg.norm(sat - rov)

@@ -1,1 +1,1 @@
-from . import trajectory  # noqa: F401
+from . import pointcloud, trajectory  # noqa: F401
