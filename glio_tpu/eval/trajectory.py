@@ -10,8 +10,6 @@
 """
 
 from dataclasses import dataclass
-from typing import Optional
-
 import numpy as np
 
 from ..utils import coords as C

@@ -18,6 +18,16 @@ import numpy as np
 from .spp import elesnr_var
 
 
+def _elesnr_var_np(el, snr):
+    """Numpy twin of spp.elesnr_var for host-side preprocessing loops
+    (a jnp scalar call per satellite costs a full device dispatch)."""
+    T, A, a, F = 50.0, 30.0, 30.0, 10.0
+    q1 = 1.0 / max(np.sin(el) ** 2, 1e-4)
+    q2 = 10.0 ** (-(snr - T) / a)
+    q3 = ((A / (10.0 ** (-(F - T) / a)) - 1.0) / (F - T)) * (snr - T) + 1.0
+    return q1 * (q2 * q3)
+
+
 def select_master(elevation, valid, system, n_sys: int = 4):
     """Highest-elevation valid satellite per constellation → (n_sys,) slots,
     −1 where a system has < 3 usable satellites (reference requires > 2,
@@ -58,7 +68,7 @@ def dd_whitening_matrix(elevation, snr, valid, system, master, max_sv: int):
             continue
         n = len(slots)
         # W⁻¹ = diag of variances for [slots..., master] (master last).
-        var = np.array([float(elesnr_var(elevation[i], snr[i]))
+        var = np.array([_elesnr_var_np(float(elevation[i]), float(snr[i]))
                         for i in slots + [mp]])
         D = np.zeros((n, n + 1))
         D[:, :n] = np.eye(n)

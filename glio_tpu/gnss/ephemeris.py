@@ -15,7 +15,7 @@ converter, so none of this runs on the TPU path.
 
 import numpy as np
 
-from .rinex import Ephemeris, SYS_BDS, SYS_GPS, SYS_GAL
+from .rinex import Ephemeris, SYS_BDS, SYS_GAL
 
 CLIGHT = 299792458.0
 MU_GPS = 3.9860050e14

@@ -11,7 +11,7 @@ Everything returns plain numpy; tensorization happens in
 """
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 

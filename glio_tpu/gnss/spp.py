@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..solver.linalg import spd_solve
-from ..utils.coords import OMGE, ecef2llh
+from ..utils.coords import OMGE
 
 CLIGHT = 299792458.0
 N_SYS = 4  # GPS, GLO, GAL, BDS

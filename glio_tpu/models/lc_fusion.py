@@ -26,7 +26,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import GlioConfig
 from ..solver import banded
 from ..utils import quat
 

@@ -19,7 +19,6 @@ Like the sliding-window model, the full sequence replays as one
 dense manifold LM.
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -8,7 +8,6 @@ cloud.  Composes the batched ops from ``glio_tpu.lidar.features`` /
 ``neighbors`` into one jitted per-scan function.
 """
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

@@ -18,7 +18,6 @@ Design (TPU-first, not a Ceres translation):
   XLA program replayed per keyframe.
 """
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
