@@ -133,6 +133,16 @@ class TestDD:
         assert m[3] == -1      # only 2 valid BDS sats → needs > 2
         assert m[1] == -1 and m[2] == -1
 
+    def test_elesnr_var_numpy_twin(self):
+        """dd._elesnr_var_np must match spp.elesnr_var (the whitening path
+        uses the numpy twin to avoid per-satellite device dispatches)."""
+        rng = np.random.default_rng(0)
+        el = rng.uniform(0.01, np.pi / 2, 64)
+        snr = rng.uniform(5.0, 55.0, 64)
+        ours = np.array([dd._elesnr_var_np(e, s) for e, s in zip(el, snr)])
+        ref = np.asarray(spp.elesnr_var(jnp.asarray(el), jnp.asarray(snr)))
+        np.testing.assert_allclose(ours, ref, rtol=1e-12)
+
     def test_dd_residual_zero_at_truth(self, epochs):
         """With a synthesized (noise-free) station and the rover at the SPP
         solution, DD residuals should be small (bounded by rover noise)."""
