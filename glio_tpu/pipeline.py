@@ -55,20 +55,41 @@ def _georef(p_local, q_local, anchor_ecef, yaw_enu_local):
 def run_pipeline(ep: Episode, cfg: GlioConfig = GlioConfig(),
                  out_dir: Optional[str] = None,
                  run_batch: Optional[bool] = None,
-                 run_lc: Optional[bool] = None) -> PipelineResult:
+                 run_lc: Optional[bool] = None,
+                 sw_chunk: int = 100) -> PipelineResult:
     anchor = (np.asarray(ep.anchor_ecef) if ep.anchor_ecef is not None
               else np.asarray(cfg.initialization.anc_ecef))
     yaw = float(ep.yaw_enu_local or cfg.initialization.yaw_enu_local)
     station = np.asarray(cfg.initialization.station_ecef)
 
     # --- stage 1: tightly-coupled sliding window -------------------------
+    # Replayed in bounded chunks through the checkpoint/resume API (bit-
+    # identical to one scan): a single multi-minute device execution can
+    # trip the remote TPU worker's watchdog on long trajectories.
     replay, _ = make_replay(cfg)
-    out = replay(ep.to_inputs(),
-                 jnp.asarray(ep.p0), jnp.asarray(ep.q0), jnp.asarray(ep.v0),
-                 None if ep.acc0 is None else jnp.asarray(ep.acc0),
-                 None if ep.gyr0 is None else jnp.asarray(ep.gyr0))
-    p_sw = np.asarray(out.p)
-    q_sw = np.asarray(out.q)
+    inputs = ep.to_inputs()
+    T = int(np.asarray(ep.kf_time).shape[0])
+    acc0 = None if ep.acc0 is None else jnp.asarray(ep.acc0)
+    gyr0 = None if ep.gyr0 is None else jnp.asarray(ep.gyr0)
+    if T <= sw_chunk:
+        out = replay(inputs, jnp.asarray(ep.p0), jnp.asarray(ep.q0),
+                     jnp.asarray(ep.v0), acc0, gyr0)
+        p_sw, q_sw = np.asarray(out.p), np.asarray(out.q)
+    else:
+        import jax as _jax
+        carry = replay.make_initial_carry(
+            jnp.asarray(ep.p0), jnp.asarray(ep.q0), jnp.asarray(ep.v0),
+            acc0, gyr0, inputs_template=inputs)
+        # Equal chunk sizes (last one padded by shrinking the first chunk
+        # boundary) would need a second compile at most; just allow two
+        # trace shapes: `sw_chunk` and the remainder.
+        ps, qs = [], []
+        for s in range(0, T, sw_chunk):
+            part = _jax.tree.map(lambda a: a[s:s + sw_chunk], inputs)
+            carry, out = replay.replay_from(carry, part)
+            ps.append(np.asarray(out.p))
+            qs.append(np.asarray(out.q))
+        p_sw, q_sw = np.concatenate(ps), np.concatenate(qs)
     res = PipelineResult(kf_time=np.asarray(ep.kf_time), p_sw=p_sw, q_sw=q_sw)
 
     if out_dir:

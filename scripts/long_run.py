@@ -1,11 +1,13 @@
 """Scale/stability validation: long simulated episode through the full
 pipeline on the available accelerator (TPU when present)."""
+import os
 import sys
 import time
 
 import numpy as np
 
 from glio_tpu.config import GlioConfig, ShapeConfig, EstimatorConfig
+from glio_tpu.data.episode import Episode
 from glio_tpu.data.simulator import simulate_episode, simulate_gnss_epochs
 from glio_tpu.pipeline import run_pipeline
 
@@ -15,11 +17,18 @@ cfg = GlioConfig().replace(
                        map_points=16384),
     estimator=EstimatorConfig(local_map_width=20, sw_max_iter=15),
 )
-print(f"simulating {n_kf} keyframes...", flush=True)
-ep = simulate_episode(n_keyframes=n_kf, scan_points=1024, seed=3)
-ep.gnss = simulate_gnss_epochs(
-    ep.gt_p, ep.kf_time, np.asarray(cfg.initialization.anc_ecef),
-    np.asarray(cfg.initialization.station_ecef), psr_noise=0.5, seed=3)
+cache = f"/tmp/long_run_ep_{n_kf}.npz"
+if os.path.exists(cache):
+    print(f"loading cached episode {cache}...", flush=True)
+    ep = Episode.load(cache)
+else:
+    print(f"simulating {n_kf} keyframes...", flush=True)
+    ep = simulate_episode(n_keyframes=n_kf, scan_points=1024, seed=3)
+    ep.gnss = simulate_gnss_epochs(
+        ep.gt_p, ep.kf_time, np.asarray(cfg.initialization.anc_ecef),
+        np.asarray(cfg.initialization.station_ecef), psr_noise=0.5, seed=3)
+    ep.save(cache)
+    print(f"episode cached to {cache}", flush=True)
 t0 = time.time()
 res = run_pipeline(ep, cfg, out_dir="/tmp/long_run")
 dt = time.time() - t0
