@@ -85,6 +85,9 @@ class EstimatorConfig:
     # Whether GNSS factors join the sliding window. The released reference
     # compiles them out (`#if 0`, Estimator.cpp:2255); default matches.
     gnss_in_sliding_window: bool = False
+    # DD outlier down-weight threshold (m) for the in-window factors
+    # (batch anneals {1e9,10,8,6}; the window uses one fixed stage).
+    window_dd_threshold: float = 10.0
     # Debug switch: disable the marginalization prior (anchor instead).
     enable_marginalization: bool = True
     # Doppler factors in the batch stage (the reference ships them

@@ -43,6 +43,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import GlioConfig
+from ..factors import gnss as gnss_factors
 from ..factors import imu as imu_factors
 from ..factors import lidar as lidar_factors
 from ..lidar import neighbors, plane_fit
@@ -260,7 +261,37 @@ def _window_residual(cfg: GlioConfig, state: WindowState, pres, imu_sqrt_info,
     # Robust loss on lidar residuals (reference: HuberLoss(1.0)).
     r_lidar = r_lidar * dense.huber_weight(r_lidar, 1.0)
 
-    return jnp.concatenate([r_prior, r_imu.reshape(-1), r_lidar.reshape(-1)])
+    parts = [r_prior, r_imu.reshape(-1), r_lidar.reshape(-1)]
+
+    # Optional DD pseudorange rows (the reference carries these factors in
+    # optimizeSlidingWindowWithLandMark but ships them compiled out,
+    # `#if 0` Estimator.cpp:2255-2421; batch-stage weighting re-used).
+    # Slot k's epoch binds to the interval (k-1, k); slot 0's older pose
+    # has left the window, so it is masked.  These rows are deliberately
+    # NOT in the marginalization factor set (like the bias regularizer):
+    # the epoch drops out with its interval instead of baking into the
+    # prior.
+    if gnss_win is not None:
+        init = cfg.initialization
+        anchor = jnp.asarray(init.anc_ecef, F64)
+        yaw = jnp.asarray(init.yaw_enu_local, F64)
+        station = jnp.asarray(init.station_ecef, F64)
+        lever = jnp.asarray(init.lever_arm, F64)
+
+        def dd_k(g, p_older, p_newer, pair_ok):
+            r = gnss_factors.dd_psr_residual(
+                p_older.astype(F64), p_newer.astype(F64), g.ratio, anchor,
+                yaw, station, g.sat_pos, g.psr_rov, g.psr_sta, g.sv_valid,
+                g.system, g.master, g.whiten,
+                threshold=est.window_dd_threshold, lever_arm=lever)
+            return jnp.where(g.valid & pair_ok, r, jnp.zeros_like(r))
+
+        pair_ok = jnp.arange(K) >= 1
+        p_older = jnp.concatenate([state.p[:1], state.p[:-1]])
+        r_dd = jax.vmap(dd_k)(gnss_win, p_older, state.p, pair_ok)
+        parts.append(r_dd.reshape(-1))
+
+    return jnp.concatenate(parts)
 
 
 def _marginalize_oldest(cfg: GlioConfig, state: WindowState, pres, imu_sqrt_info,
@@ -447,7 +478,8 @@ def make_replay(cfg: GlioConfig):
             return _window_residual(
                 cfg, s, pres, imu_S, imu_edge_valid, lidar_meas,
                 c.prior_sqrt_jac, c.prior_sqrt_res, c.prior_valid,
-                c.prior_lin, gravity, gnss_win)
+                c.prior_lin, gravity,
+                gnss_win if est.gnss_in_sliding_window else None)
 
         # f32 twin for the LM Jacobian: all measurement tensors cast once;
         # state casts inside. GNSS rows stay f64 (pseudorange magnitudes).

@@ -99,6 +99,10 @@ def test_gnss_in_window_bounds_drift():
                          ep.acc0, ep.gyr0)
     err_off = np.linalg.norm(np.asarray(out_off.p) - ep.gt_p, axis=-1)
 
+    # The DD rows must actually engage (guards against the factors being
+    # silently dropped from the residual, which `max(1.5, ...)` alone
+    # would not catch).
+    assert not np.array_equal(np.asarray(out.p), np.asarray(out_off.p))
     # GNSS keeps the tail bounded near DD accuracy.
     assert err_on[-5:].mean() < max(1.5, 0.8 * err_off[-5:].mean())
     assert err_on.max() < 5.0
