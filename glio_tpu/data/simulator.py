@@ -52,9 +52,27 @@ def _delta_q(theta):
 class PlaneWorld:
     """A world of finite plane patches (building facades + ground)."""
 
-    def __init__(self, extent=400.0, n_walls=160, seed=0):
+    def __init__(self, extent=400.0, n_walls=160, seed=0, along=None):
+        """`along`: optional (N, 3) trajectory — walls are then placed as a
+        corridor flanking the path (urban-street geometry) instead of
+        uniformly over the extent, so scene density is independent of how
+        long the trajectory is (a fixed wall count spread over a huge
+        bounding box starves long episodes of lateral constraints)."""
         rng = np.random.default_rng(seed + 1)
-        centers = rng.uniform(-extent, extent, size=(n_walls, 3))
+        if along is not None:
+            along = np.asarray(along, float)
+            # One wall every ~5 m of path on average, at least n_walls.
+            seg = np.linalg.norm(np.diff(along, axis=0), axis=-1)
+            n_walls = max(n_walls, int(seg.sum() / 5.0))
+            picks = along[rng.integers(0, along.shape[0], size=n_walls)]
+            lateral = rng.uniform(6.0, 25.0, size=n_walls)
+            side = rng.choice([-1.0, 1.0], size=n_walls)
+            theta = rng.uniform(0, 2 * np.pi, size=n_walls)
+            offs = np.stack([np.cos(theta), np.sin(theta)], -1)
+            centers = picks.copy()
+            centers[:, :2] += offs * (side * lateral)[:, None]
+        else:
+            centers = rng.uniform(-extent, extent, size=(n_walls, 3))
         yaw = rng.uniform(0, np.pi, size=n_walls)
         normals = np.stack([np.cos(yaw), np.sin(yaw), np.zeros(n_walls)], -1)
         half = rng.uniform(4.0, 15.0, size=(n_walls, 2))  # width, height
@@ -226,7 +244,8 @@ def simulate_episode(
         imu_val[i, :n] = True
 
     # LiDAR scans at keyframe poses.
-    world = PlaneWorld(extent=max(200.0, np.abs(ps).max() + 80.0), seed=seed)
+    world = PlaneWorld(extent=max(200.0, np.abs(ps).max() + 80.0), seed=seed,
+                       along=ps[kf_idx])
     scan = np.zeros((T, scan_points, 3), np.float32)
     scan_valid = np.zeros((T, scan_points), bool)
     for i in range(T):

@@ -77,7 +77,9 @@ def solve_epoch_dd(sat_pos, psr_rov, psr_sta, valid, system, master,
     n_dd = jnp.sum(pair_mask)
     dof = jnp.maximum(n_dd - 3, 1)
     s2 = jnp.sum(res * res * w) / dof
-    cov = s2 * jnp.linalg.inv(H)
+    # Cholesky inverse: jnp.linalg.inv lowers to LU, which XLA:TPU does
+    # not implement for f64; H is SPD (Gram + ridge).
+    cov = s2 * spd_solve(H, jnp.eye(3, dtype=H.dtype))
     ok = (n_dd >= 4) & jnp.all(jnp.isfinite(x)) & (jnp.sqrt(s2) < 100.0)
     return x, cov, ok, n_dd
 

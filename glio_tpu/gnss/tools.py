@@ -10,6 +10,7 @@ PRN number space) and dilution-of-precision computation.
 import jax.numpy as jnp
 import numpy as np
 
+from ..solver.linalg import spd_solve
 from ..utils import coords as C
 
 # The reference's packed PRN ranges (gnss_tools.h:1116-1175).
@@ -59,7 +60,9 @@ def dop(rcv_ecef, sat_pos, valid):
     ones = jnp.ones(los.shape[:-1] + (1,), los.dtype)
     A = jnp.concatenate([los, ones], axis=-1)
     A = jnp.where(jnp.asarray(valid)[..., None], A, 0.0)
-    Q = jnp.linalg.inv(A.T @ A + 1e-9 * jnp.eye(4, dtype=A.dtype))
+    # Cholesky inverse (f64 LU is unsupported on XLA:TPU).
+    Q = spd_solve(A.T @ A + 1e-9 * jnp.eye(4, dtype=A.dtype),
+                  jnp.eye(4, dtype=A.dtype))
     d = jnp.diagonal(Q)
     gdop = jnp.sqrt(jnp.sum(d))
     pdop = jnp.sqrt(d[0] + d[1] + d[2])

@@ -15,7 +15,11 @@ n_kf = int(sys.argv[1]) if len(sys.argv) > 1 else 600
 cfg = GlioConfig().replace(
     shapes=ShapeConfig(max_imu_per_interval=40, scan_points=1024,
                        map_points=16384),
-    estimator=EstimatorConfig(local_map_width=20, sw_max_iter=15),
+    # GNSS joins the window: over hundreds of keyframes pure-LIO drift
+    # eventually exceeds the association radius, after which the IMU
+    # random-walks unbounded — the DD factors keep the window anchored.
+    estimator=EstimatorConfig(local_map_width=20, sw_max_iter=15,
+                              gnss_in_sliding_window=True),
 )
 cache = f"/tmp/long_run_ep_{n_kf}.npz"
 if os.path.exists(cache):
