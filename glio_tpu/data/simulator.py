@@ -224,10 +224,16 @@ def simulate_episode(
     acc_out = acc_meas + ba
     gyr_out = gyr_meas + bg
     if imu_noise:
-        acc_out = acc_out + (params.acc_n / np.sqrt(imu_dt)) * rng.normal(
-            size=acc_out.shape)
-        gyr_out = gyr_out + (params.gyr_n / np.sqrt(imu_dt)) * rng.normal(
-            size=gyr_out.shape)
+        # acc_n/gyr_n are DISCRETE per-sample sigmas here, matching both
+        # the factor model (which follows the reference's convention of
+        # plugging the config values straight into the per-sample noise
+        # block, Preintegration.h:48-71) and, numerically, the real
+        # Xsens MTi-10 the config describes. The previous /sqrt(dt)
+        # density conversion made the synthetic IMU 10x noisier than
+        # the sensor being modeled and drove long replays into
+        # unbounded INS drift.
+        acc_out = acc_out + params.acc_n * rng.normal(size=acc_out.shape)
+        gyr_out = gyr_out + params.gyr_n * rng.normal(size=gyr_out.shape)
 
     kf_idx = np.arange(T) * n_per
     NI = n_per + 4

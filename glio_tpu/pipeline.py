@@ -52,11 +52,212 @@ def _georef(p_local, q_local, anchor_ecef, yaw_enu_local):
     return llh, ypr, enu
 
 
+def _slice_epochs_fixed(g, t0, t1, n_out):
+    """Fixed-shape epoch window: epochs with time in [t0, t1], padded with
+    invalid entries (time sentinel < every keyframe time → ep_valid False
+    in ``batch.build_problem``). Keeps the interleaved fusion solve at one
+    compiled shape."""
+    time = np.asarray(g.time)
+    idx = np.nonzero((time >= t0) & (time <= t1))[0][:n_out]
+
+    class _G:
+        pass
+
+    out = _G()
+    for f in ("sat_pos", "psr_rov", "psr_sta", "valid", "system",
+              "master", "elevation", "snr", "sat_vel", "sat_ddt",
+              "dopp_rov"):
+        a = np.asarray(getattr(g, f))
+        pad = np.zeros((n_out,) + a.shape[1:], a.dtype)
+        pad[:len(idx)] = a[idx]
+        setattr(out, f, pad)
+    t = np.full(n_out, -1e18)
+    t[:len(idx)] = time[idx]
+    out.time = t
+    return out
+
+
+def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
+                               anchor, yaw, station,
+                               every: int = 40, fusion_span: int = 160):
+    """Sliding window interleaved with online batch correction.
+
+    Reference-parity for ``backendFusionThread`` (Estimator.cpp:5352 +
+    :2739-2748): the reference's batch stage runs CONCURRENTLY with the
+    sliding window and writes corrected keyframe poses back into
+    ``pose_info_keyframe``, which ``buildLocalMapWithLandMark`` reads — so
+    the window always associates against a drift-corrected local map. A
+    purely sequential sw→batch pipeline loses that feedback: local-map
+    drift compounds (pose error → warped map → worse association), and on
+    long trajectories the window eventually decouples from the map.
+
+    Every `every` keyframes this driver batch-solves the trailing
+    `fusion_span` keyframes against the GNSS DD factors (fixed problem
+    shape → one XLA compile) and writes the corrected poses into the
+    estimator's map ring for frames that have left the window.
+    """
+    import jax as _jax
+    from .models.sliding_window import make_replay
+
+    est = cfg.estimator
+    K = est.slide_window_width
+    M = est.local_map_width
+    replay, _ = make_replay(cfg)
+    kf_time = np.asarray(ep.kf_time)
+    T = kf_time.shape[0]
+    kf_dt = float(np.median(np.diff(kf_time))) if T > 1 else 0.33
+    carry = replay.make_initial_carry(
+        jnp.asarray(ep.p0), jnp.asarray(ep.q0), jnp.asarray(ep.v0),
+        None if ep.acc0 is None else jnp.asarray(ep.acc0),
+        None if ep.gyr0 is None else jnp.asarray(ep.gyr0),
+        inputs_template=inputs)
+    p_hist = np.zeros((0, 3))
+    q_hist = np.zeros((0, 4))
+    for s in range(0, T, every):
+        part = jax_tree_slice(inputs, s, s + every)
+        carry, out = replay.replay_from(carry, part)
+        p_hist = np.concatenate([p_hist, np.asarray(out.p)])
+        q_hist = np.concatenate([q_hist, np.asarray(out.q)])
+        t = p_hist.shape[0]
+        s0 = max(0, t - fusion_span)
+        n = t - s0
+        if n < 3 * K or ep.gnss is None:
+            continue
+        pw = np.zeros((fusion_span, 3))
+        qw = np.zeros((fusion_span, 4))
+        qw[:, 0] = 1.0
+        tw = np.zeros(fusion_span)
+        pw[:n] = p_hist[s0:t]
+        qw[:n] = q_hist[s0:t]
+        tw[:n] = kf_time[s0:t]
+        if n < fusion_span:
+            # Pad by extending the last pose (relatives stay consistent;
+            # no epochs bind past the real segment).
+            pw[n:] = pw[n - 1]
+            qw[n:] = qw[n - 1]
+            tw[n:] = tw[n - 1] + kf_dt * np.arange(1, fusion_span - n + 1)
+        gsub = _slice_epochs_fixed(ep.gnss, tw[0], kf_time[t - 1],
+                                   fusion_span)
+        prob = batch_mod.build_problem(cfg, pw, qw, tw, gsub,
+                                       anchor, yaw, station)
+        pc, qc, _ = batch_mod.optimize_batch(cfg, prob)
+        p_hist[s0:t] = np.asarray(pc)[:n]
+        q_hist[s0:t] = np.asarray(qc)[:n]
+        # Correct the map ring for frames that already left the window
+        # (the window itself refreshes the newest K slots every step).
+        base = carry.base
+        mp = np.array(base.map_p)
+        mq = np.array(base.map_q)
+        for i in range(max(s0, t - M), t - K):
+            mp[i % M] = p_hist[i]
+            mq[i % M] = q_hist[i]
+        base = base._replace(map_p=jnp.asarray(mp), map_q=jnp.asarray(mq))
+        # Re-initialize the window if it has walked away from the fused
+        # estimate (divergence recovery: the reference's loose per-frame
+        # gates let an INS runaway persist once associations are lost;
+        # snapping the window states back to the GNSS-corrected trajectory
+        # and dropping the — now inconsistent — marginalization prior
+        # restores tracking; velocities are re-seeded by finite
+        # differences).
+        w = base.window
+        drift = float(np.linalg.norm(
+            np.asarray(w.p[-1]) - p_hist[t - 1]))
+        pk = p_hist[t - K:t]
+        qk = q_hist[t - K:t]
+        hop = (np.linalg.norm(np.diff(pk, axis=0), axis=-1) / kf_dt
+               if pk.shape[0] > 1 else np.zeros(1))
+        # Only snap to a PLAUSIBLE fused target: if the fused tail itself
+        # is broken (non-finite, or implies impossible vehicle speed), a
+        # reset would inject garbage states — and its finite-difference
+        # velocity seed amplifies a position spike into astronomic
+        # velocities.
+        target_sane = bool(np.isfinite(pk).all() and hop.max() < 30.0)
+        if drift > 20.0 and target_sane:
+            vk = np.clip(np.gradient(pk, kf_dt, axis=0), -30.0, 30.0)
+            w = w._replace(p=jnp.asarray(pk), q=jnp.asarray(qk),
+                           v=jnp.asarray(vk))
+            base = base._replace(
+                window=w,
+                prior_valid=jnp.asarray(False),
+                prior_sqrt_jac=jnp.zeros_like(base.prior_sqrt_jac),
+                prior_sqrt_res=jnp.zeros_like(base.prior_sqrt_res))
+        elif drift > 20.0:
+            # Even the fused tail is broken: re-anchor from a direct RTK
+            # DD fix — an absolute position independent of every
+            # accumulated state (failure recovery; the ROS reference's
+            # equivalent is an operator restart).
+            g = ep.gnss
+            ei = int(np.searchsorted(np.asarray(g.time),
+                                     kf_time[t - 1])) - 1
+            if ei >= 0:
+                fx, _, ok, _ = rtk.solve_epoch_dd(
+                    jnp.asarray(g.sat_pos[ei]), jnp.asarray(g.psr_rov[ei]),
+                    jnp.asarray(g.psr_sta[ei]), jnp.asarray(g.valid[ei]),
+                    jnp.asarray(g.system[ei], jnp.int32),
+                    jnp.asarray(g.master[ei]), jnp.asarray(station),
+                    jnp.asarray(g.elevation[ei]), jnp.asarray(g.snr[ei]),
+                    jnp.asarray(anchor))
+                if bool(ok):
+                    enu = np.asarray(C.ecef2enu(fx[None],
+                                                jnp.asarray(anchor)))[0]
+                    sy, cy = np.sin(yaw), np.cos(yaw)
+                    p_fix = np.array([[cy, sy, 0], [-sy, cy, 0],
+                                      [0, 0, 1.0]]) @ enu
+                    pk2 = np.repeat(p_fix[None], K, 0)
+                    w = w._replace(
+                        p=jnp.asarray(pk2),
+                        v=jnp.zeros_like(w.v))
+                    base = base._replace(
+                        window=w,
+                        prior_valid=jnp.asarray(False),
+                        prior_sqrt_jac=jnp.zeros_like(base.prior_sqrt_jac),
+                        prior_sqrt_res=jnp.zeros_like(base.prior_sqrt_res))
+                    p_hist[t - K:t] = pk2
+        carry = carry._replace(base=base)
+
+    # Final correction sweep: early segments froze at whatever partial
+    # correction they had when they left the trailing span; one ordered
+    # pass of overlapping fusion windows (same compiled solve) re-corrects
+    # them with the benefit of the whole fused trajectory.
+    if ep.gnss is not None and T > fusion_span // 2:
+        for s0 in range(0, max(1, T - fusion_span // 2), fusion_span // 2):
+            t = min(s0 + fusion_span, T)
+            s0 = max(0, t - fusion_span)
+            n = t - s0
+            if n < 3 * K:
+                continue
+            pw = np.zeros((fusion_span, 3))
+            qw = np.zeros((fusion_span, 4))
+            qw[:, 0] = 1.0
+            tw = np.zeros(fusion_span)
+            pw[:n] = p_hist[s0:t]
+            qw[:n] = q_hist[s0:t]
+            tw[:n] = kf_time[s0:t]
+            if n < fusion_span:
+                pw[n:] = pw[n - 1]
+                qw[n:] = qw[n - 1]
+                tw[n:] = tw[n - 1] + kf_dt * np.arange(1, fusion_span - n + 1)
+            gsub = _slice_epochs_fixed(ep.gnss, tw[0], kf_time[t - 1],
+                                       fusion_span)
+            prob = batch_mod.build_problem(cfg, pw, qw, tw, gsub,
+                                           anchor, yaw, station)
+            pc, qc, _ = batch_mod.optimize_batch(cfg, prob)
+            p_hist[s0:t] = np.asarray(pc)[:n]
+            q_hist[s0:t] = np.asarray(qc)[:n]
+    return p_hist, q_hist
+
+
+def jax_tree_slice(tree, s, e):
+    import jax as _jax
+    return _jax.tree.map(lambda a: a[s:e], tree)
+
+
 def run_pipeline(ep: Episode, cfg: GlioConfig = GlioConfig(),
                  out_dir: Optional[str] = None,
                  run_batch: Optional[bool] = None,
                  run_lc: Optional[bool] = None,
-                 sw_chunk: int = 100) -> PipelineResult:
+                 sw_chunk: int = 100,
+                 backend_fusion_every: int = 0) -> PipelineResult:
     anchor = (np.asarray(ep.anchor_ecef) if ep.anchor_ecef is not None
               else np.asarray(cfg.initialization.anc_ecef))
     yaw = float(ep.yaw_enu_local or cfg.initialization.yaw_enu_local)
@@ -66,9 +267,15 @@ def run_pipeline(ep: Episode, cfg: GlioConfig = GlioConfig(),
     # Replayed in bounded chunks through the checkpoint/resume API (bit-
     # identical to one scan): a single multi-minute device execution can
     # trip the remote TPU worker's watchdog on long trajectories.
-    replay, _ = make_replay(cfg)
     inputs = ep.to_inputs()
     T = int(np.asarray(ep.kf_time).shape[0])
+    if backend_fusion_every > 0 and ep.gnss is not None:
+        p_sw, q_sw = replay_with_backend_fusion(
+            cfg, ep, inputs, anchor, yaw, station,
+            every=backend_fusion_every)
+        return _finish_pipeline(ep, cfg, out_dir, run_batch, run_lc,
+                                anchor, yaw, station, p_sw, q_sw)
+    replay, _ = make_replay(cfg)
     acc0 = None if ep.acc0 is None else jnp.asarray(ep.acc0)
     gyr0 = None if ep.gyr0 is None else jnp.asarray(ep.gyr0)
     if T <= sw_chunk:
@@ -90,6 +297,13 @@ def run_pipeline(ep: Episode, cfg: GlioConfig = GlioConfig(),
             ps.append(np.asarray(out.p))
             qs.append(np.asarray(out.q))
         p_sw, q_sw = np.concatenate(ps), np.concatenate(qs)
+    return _finish_pipeline(ep, cfg, out_dir, run_batch, run_lc,
+                            anchor, yaw, station, p_sw, q_sw)
+
+
+def _finish_pipeline(ep, cfg, out_dir, run_batch, run_lc,
+                     anchor, yaw, station, p_sw, q_sw) -> PipelineResult:
+    """Stages 2-3 + CSV output, shared by all stage-1 drivers."""
     res = PipelineResult(kf_time=np.asarray(ep.kf_time), p_sw=p_sw, q_sw=q_sw)
 
     if out_dir:

@@ -30,11 +30,14 @@ else:
     ep = simulate_episode(n_keyframes=n_kf, scan_points=1024, seed=3)
     ep.gnss = simulate_gnss_epochs(
         ep.gt_p, ep.kf_time, np.asarray(cfg.initialization.anc_ecef),
-        np.asarray(cfg.initialization.station_ecef), psr_noise=0.5, seed=3)
+        np.asarray(cfg.initialization.station_ecef), psr_noise=0.5,
+        epoch_stride=1, seed=3)
     ep.save(cache)
     print(f"episode cached to {cache}", flush=True)
 t0 = time.time()
-res = run_pipeline(ep, cfg, out_dir="/tmp/long_run")
+# backendFusionThread parity: batch-correct the trailing segment every 10
+# keyframes and feed the corrected poses back into the window's local map.
+res = run_pipeline(ep, cfg, out_dir="/tmp/long_run", backend_fusion_every=10)
 dt = time.time() - t0
 L = np.sum(np.linalg.norm(np.diff(ep.gt_p, axis=0), axis=-1))
 print(f"pipeline done in {dt:.0f}s for {n_kf} kf over {L:.0f} m", flush=True)
