@@ -76,7 +76,9 @@ class Episode:
     # Georeference: local ENU anchor in ECEF + yaw offset (config values in
     # the reference: anc_ecef_*, yaw_enu_local).
     anchor_ecef: Optional[np.ndarray] = None
-    yaw_enu_local: float = 0.0
+    # None = "not set by the dataset" (falls back to the config value);
+    # 0.0 is a legitimate yaw and must be distinguishable from unset.
+    yaw_enu_local: Optional[float] = None
 
     @property
     def num_keyframes(self):

@@ -138,7 +138,10 @@ def bind_epochs_to_keyframes(gnss, kf_time, max_sv: int):
     )
     if gnss is None:
         return out
-    idx = np.searchsorted(gnss.time, kf_time)
+    # side="right" so an epoch exactly at kf_time[k] binds to interval k
+    # (half-open (t_{k-1}, t_k]); with side="left" such an epoch would be
+    # silently dropped from the window DD factors (ADVICE r1).
+    idx = np.searchsorted(gnss.time, kf_time, side="right")
     for k in range(1, T):
         # Latest epoch within the interval.
         cand = idx[k] - 1

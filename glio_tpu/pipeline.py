@@ -260,7 +260,8 @@ def run_pipeline(ep: Episode, cfg: GlioConfig = GlioConfig(),
                  backend_fusion_every: int = 0) -> PipelineResult:
     anchor = (np.asarray(ep.anchor_ecef) if ep.anchor_ecef is not None
               else np.asarray(cfg.initialization.anc_ecef))
-    yaw = float(ep.yaw_enu_local or cfg.initialization.yaw_enu_local)
+    yaw = float(ep.yaw_enu_local if ep.yaw_enu_local is not None
+                else cfg.initialization.yaw_enu_local)
     station = np.asarray(cfg.initialization.station_ecef)
 
     # --- stage 1: tightly-coupled sliding window -------------------------

@@ -191,6 +191,24 @@ def slerp(q0, q1, t):
     return normalize(w0 * q0 + w1 * q1)
 
 
+def slerp_np(q0, q1, t):
+    """Numpy twin of ``slerp`` for host-side preprocessing (single pair;
+    avoids a device dispatch per repaired pose)."""
+    import numpy as _np
+    q0 = _np.asarray(q0, float)
+    q1 = _np.asarray(q1, float)
+    d = float(q0 @ q1)
+    if d < 0:
+        q1, d = -q1, -d
+    theta = _np.arccos(min(max(d, -1.0), 1.0))
+    if _np.sin(theta) < 1e-6:
+        out = (1.0 - t) * q0 + t * q1
+    else:
+        out = (_np.sin((1.0 - t) * theta) * q0
+               + _np.sin(t * theta) * q1) / _np.sin(theta)
+    return out / _np.linalg.norm(out)
+
+
 def from_ypr(ypr):
     """ZYX Euler (yaw, pitch, roll, radians) → quaternion.
 

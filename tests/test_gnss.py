@@ -133,6 +133,35 @@ class TestDD:
         assert m[3] == -1      # only 2 valid BDS sats → needs > 2
         assert m[1] == -1 and m[2] == -1
 
+    def test_boundary_epoch_binds_to_exactly_one_interval(self):
+        """An epoch whose timestamp exactly equals a keyframe time must
+        bind to interval k (half-open (t_{k-1}, t_k]), not vanish
+        (ADVICE r1: side='left' searchsorted silently dropped it)."""
+        from glio_tpu.data.episode import GnssEpochs
+
+        M = 8
+        E = 3
+        times = np.array([0.5, 1.0, 1.7])  # epoch 1 exactly at kf time 1.0
+        g = GnssEpochs(
+            time=times,
+            sat_pos=np.zeros((E, M, 3)), sat_vel=np.zeros((E, M, 3)),
+            sat_ddt=np.zeros((E, M)),
+            psr_rov=np.ones((E, M)), psr_sta=np.ones((E, M)),
+            psr_rov_corr=np.ones((E, M)), dopp_rov=np.zeros((E, M)),
+            elevation=np.full((E, M), 0.8), snr=np.full((E, M), 40.0),
+            valid=np.ones((E, M), bool),
+            system=np.zeros((E, M), np.int8),
+            master=np.zeros((E, 4), np.int32),
+        )
+        kf_time = np.array([0.0, 1.0, 2.0])
+        out = dd.bind_epochs_to_keyframes(g, kf_time, M)
+        # Keyframe 1's interval (0, 1] must have picked the epoch at 1.0.
+        assert out["gnss_valid"][1]
+        assert out["gnss_ratio"][1] == 0.0  # epoch exactly at kf 1
+        # Keyframe 2's interval (1, 2] picks the 1.7 epoch (not 1.0 again).
+        assert out["gnss_valid"][2]
+        assert np.isclose(out["gnss_ratio"][2], (2.0 - 1.7) / 1.0)
+
     def test_elesnr_var_numpy_twin(self):
         """dd._elesnr_var_np must match spp.elesnr_var (the whitening path
         uses the numpy twin to avoid per-satellite device dispatches)."""
