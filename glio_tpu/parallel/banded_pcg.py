@@ -35,14 +35,14 @@ def _halo_matvec(band_l, x_l, hw, axis_name):
     # Receive the last hw rows of the LEFT neighbor and first hw of RIGHT.
     fwd = [(i, i + 1) for i in range(n - 1)]
     bwd = [(i + 1, i) for i in range(n - 1)]
+    # ppermute zero-fills receivers with no sender (shard 0 gets no left
+    # halo, shard n-1 no right halo) — exactly the banded system's zero
+    # boundary condition. Asserted by
+    # tests/test_parallel.py::TestHaloBoundary.
     left_halo = jax.lax.ppermute(x_l[:, -hw:], axis_name, fwd) if n > 1 \
         else jnp.zeros_like(x_l[:, :hw])
     right_halo = jax.lax.ppermute(x_l[:, :hw], axis_name, bwd) if n > 1 \
         else jnp.zeros_like(x_l[:, :hw])
-    if n > 1:
-        # Devices with no sender get garbage? ppermute fills zeros for
-        # missing senders — which matches the zero boundary condition.
-        pass
     x_ext = jnp.concatenate([left_halo, x_l, right_halo], axis=1)
 
     B = band_l.shape[2]
@@ -104,8 +104,26 @@ def make_sharded_pcg(mesh, hw: int, iters: int = 60,
         res = jnp.sqrt(jnp.maximum(dot(r, r), 0.0))
         return x, res
 
-    return jax.jit(jax.shard_map(
+    sharded = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(dp_axis, sp_axis), P(dp_axis, sp_axis)),
         out_specs=(P(dp_axis, sp_axis), P(dp_axis)),
     ))
+
+    sp = mesh.shape[sp_axis]
+    dp = mesh.shape[dp_axis]
+
+    def solve(band, b):
+        nb, T = b.shape[0], b.shape[1]
+        if T % sp != 0 or nb % dp != 0:
+            # shard_map requires exact divisibility; pad the trajectory to
+            # a multiple of the mesh (identity diagonal blocks + zero rhs
+            # rows are exact no-ops for the solution of the real rows).
+            raise ValueError(
+                f"(NB={nb}, T={T}) not divisible by mesh (dp={dp}, "
+                f"sp={sp}); pad T to a multiple of sp with identity "
+                f"diagonal blocks and zero rhs (and NB to a multiple of "
+                f"dp) before calling.")
+        return sharded(band, b)
+
+    return solve
