@@ -1,62 +1,113 @@
 """Headline benchmark: sliding-window solve time per keyframe on TPU.
 
 BASELINE.md target: "beat the CPU-Ceres per-frame sliding-window solve
-time on one TPU v5e chip".  The reference's per-keyframe budget is the
-3 Hz real-time envelope (~333 ms available; Ceres capped at 15 dogleg
-iterations over the 5-keyframe window, ``Estimator.cpp:2424-2433``).
+time on one TPU v5e chip".  Two baselines are reported:
 
-This bench replays a simulated episode through the full jitted
-sliding-window step (preintegration + map build + MXU kNN association +
-plane fits + 15-iteration LM + Schur marginalization) at
-reference-equivalent sizes, and reports the steady-state per-keyframe
-wall time on the available accelerator.
+* ``vs_baseline`` — the 3 Hz real-time envelope (~333 ms/keyframe the
+  reference has available; Ceres capped at 15 dogleg iterations over the
+  5-keyframe window, ``Estimator.cpp:2424-2433``).
+* ``vs_cpu_measured`` — an honestly *measured* CPU reference point: the
+  SAME window problem (same residuals, same 15-iteration LM, same
+  association + marginalization) solved on the host CPU via
+  ``JAX_PLATFORMS=cpu`` in a subprocess.  This is the apples-to-apples
+  "what would this solve cost without the accelerator" number (a
+  CPU-Ceres implementation would land in the same order; the reference
+  publishes no timing table — BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Per-stage breakdown (measured by ablation on the accelerator):
+``lm_iter_ms`` (one LM iteration: f32 jacfwd + JᵀJ + mixed-precision
+refined Cholesky), ``fixed_ms`` (association kNN + plane fits + IMU
+preintegration + marginalization + map update per keyframe).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
+T_BENCH = 30
+T_CPU = 10
 
-def main():
-    import jax
 
+def _build(sw_max_iter=15, scan_points=1024):
     from glio_tpu.config import GlioConfig, ShapeConfig, EstimatorConfig
     from glio_tpu.data.simulator import simulate_episode
     from glio_tpu.models.sliding_window import make_replay
 
-    # Reference-equivalent sizes: 5-kf window, 100 selected features/kf,
-    # 15 LM iterations, local map of 20 scans × 1024 pts (the reference's
-    # 50-frame map voxel-filters to the same order of points).
     cfg = GlioConfig().replace(
-        shapes=ShapeConfig(max_imu_per_interval=40, scan_points=1024,
+        shapes=ShapeConfig(max_imu_per_interval=40, scan_points=scan_points,
                            map_points=16384),
-        estimator=EstimatorConfig(local_map_width=20, sw_max_iter=15),
+        estimator=EstimatorConfig(local_map_width=20,
+                                  sw_max_iter=sw_max_iter),
     )
-    T = 30
-    ep = simulate_episode(n_keyframes=T, scan_points=1024, seed=0)
-    replay, _ = make_replay(cfg)
-    args = (ep.to_inputs(), ep.p0, ep.q0, ep.v0, ep.acc0, ep.gyr0)
+    return cfg, make_replay(cfg)[0]
 
-    # Warm-up (compile).
+
+def _time_replay(replay, ep, T):
+    args = (ep.to_inputs(), ep.p0, ep.q0, ep.v0, ep.acc0, ep.gyr0)
     out = replay(*args)
     out.p.block_until_ready()
-
     t0 = time.perf_counter()
     out = replay(*args)
     out.p.block_until_ready()
-    dt = time.perf_counter() - t0
-    ms_per_kf = 1e3 * dt / T
+    return 1e3 * (time.perf_counter() - t0) / T
+
+
+def main():
+    from glio_tpu.data.simulator import simulate_episode
+
+    ep = simulate_episode(n_keyframes=T_BENCH, scan_points=1024, seed=0)
+
+    _, replay = _build(sw_max_iter=15)
+    ms_per_kf = _time_replay(replay, ep, T_BENCH)
+
+    # Ablation: 1-iteration config isolates the fixed per-keyframe work.
+    _, replay1 = _build(sw_max_iter=1)
+    ms_1iter = _time_replay(replay1, ep, T_BENCH)
+    lm_iter_ms = max(ms_per_kf - ms_1iter, 0.0) / 14.0
+    fixed_ms = max(ms_1iter - lm_iter_ms, 0.0)
+
+    # Measured CPU reference: same problem, same solver, host CPU.
+    cpu_ms = None
+    try:
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        env.pop("XLA_FLAGS", None)
+        code = (
+            "import bench, jax; jax.config.update('jax_platforms','cpu');"
+            "from glio_tpu.data.simulator import simulate_episode;"
+            f"ep = simulate_episode(n_keyframes={T_CPU}, scan_points=1024,"
+            "seed=0);"
+            "_, replay = bench._build(sw_max_iter=15);"
+            f"print('CPU_MS', bench._time_replay(replay, ep, {T_CPU}))"
+        )
+        res = subprocess.run(
+            [sys.executable, "-c", code], env=env, capture_output=True,
+            text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in res.stdout.splitlines():
+            if line.startswith("CPU_MS"):
+                cpu_ms = float(line.split()[1])
+    except Exception:
+        pass
 
     baseline_ms = 333.0  # reference real-time budget per keyframe (3 Hz)
-    print(json.dumps({
+    out = {
         "metric": "sliding_window_solve_ms_per_keyframe",
         "value": round(ms_per_kf, 3),
         "unit": "ms",
         "vs_baseline": round(baseline_ms / ms_per_kf, 2),
-    }))
+        "lm_iter_ms": round(lm_iter_ms, 3),
+        "fixed_ms": round(fixed_ms, 3),
+    }
+    if cpu_ms is not None:
+        out["cpu_measured_ms"] = round(cpu_ms, 1)
+        out["vs_cpu_measured"] = round(cpu_ms / ms_per_kf, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -44,6 +44,16 @@ class GnssEpochs:
     valid: np.ndarray           # (E, MAX_SV) bool
     system: np.ndarray          # (E, MAX_SV) int8 constellation id (0..3)
     master: np.ndarray          # (E, 4) int32 master slot per system (−1 none)
+    # Carrier-phase channel (GNSS_Raw.msg carrier_phase/lambda/LLI fields;
+    # feeds the RTK float filter, rtkpos.cpp parity). Optional: None when
+    # the source had no usable carrier.
+    car_rov: Optional[np.ndarray] = None    # (E, MAX_SV) carrier (m)
+    car_sta: Optional[np.ndarray] = None    # (E, MAX_SV) station carrier (m)
+    car_valid: Optional[np.ndarray] = None  # (E, MAX_SV) bool
+    lli: Optional[np.ndarray] = None        # (E, MAX_SV) int8 loss-of-lock
+    sat_id: Optional[np.ndarray] = None     # (E, MAX_SV) int32 sys*100+prn
+                                            # (slot→satellite identity for
+                                            # cross-epoch arc tracking)
 
 
 @dataclasses.dataclass

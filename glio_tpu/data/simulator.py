@@ -277,13 +277,20 @@ def simulate_episode(
 
 def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,
                          n_sats=20, psr_noise=0.5, epoch_stride=3, seed=0,
-                         max_sv=32):
+                         max_sv=32, carrier=False, car_noise=0.005,
+                         slip_prob=0.0):
     """Synthetic DD-ready GNSS epochs for a simulated trajectory.
 
     Satellites on a slowly-rotating shell; rover raw pseudoranges include
     receiver clock + Sagnac + noise; station observations are exact — the
     same contract the converter's synthesized-station mode produces, but
     with zero atmosphere so DD is exact up to `psr_noise`.
+
+    With ``carrier=True`` also emits the carrier channel for the RTK
+    float filter: rover carrier = geometry + clock + per-arc ambiguity +
+    ``car_noise``; Doppler = true range-rate + receiver clock drift;
+    cycle slips injected per (epoch, sat) with ``slip_prob`` and flagged
+    via LLI (plus an ambiguity jump, like a real slip).
     """
     from ..data.episode import GnssEpochs
     from ..gnss.converter import _azel_np
@@ -315,18 +322,35 @@ def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,
         valid=np.zeros((E, max_sv), bool),
         system=np.zeros((E, max_sv), np.int8),
         master=np.full((E, 4), -1, np.int32),
+        car_rov=np.zeros((E, max_sv)),
+        car_sta=np.zeros((E, max_sv)),
+        car_valid=np.zeros((E, max_sv), bool),
+        lli=np.zeros((E, max_sv), np.int8),
+        sat_id=np.full((E, max_sv), -1, np.int32),
     )
     from ..gnss import dd as dd_mod
+    kf_time = np.asarray(kf_time, float)
+    # Ground-truth rover velocity (central differences over keyframes).
+    v_ecef = np.gradient(gt_ecef, kf_time, axis=0)
+    amb = 30.0 * rng.normal(size=n_sats)         # per-arc ambiguities (m)
     for e, k in enumerate(idx):
         t = g.time[e] - g.time[0]
         rov = gt_ecef[min(k, len(gt_ecef) - 1)]
+        vr = v_ecef[min(k, len(gt_ecef) - 1)]
         clk = 1e-3 * CL * (1 + 1e-8 * t)  # receiver clock (m)
+        clk_drift = 1e-3 * CL * 1e-8      # m/s
         # Vectorized (pure numpy — a jnp call per satellite would pay the
         # per-dispatch latency thousands of times on remote backends).
-        axis = omega * t
-        d = dirs + np.cross(axis, dirs)
-        d /= np.linalg.norm(d, axis=-1, keepdims=True)
-        sats = anchor_ecef + 2.2e7 * d
+        def shell(tt):
+            dd_ = dirs + np.cross(omega * tt, dirs)
+            dd_ = dd_ / np.linalg.norm(dd_, axis=-1, keepdims=True)
+            return anchor_ecef + 2.2e7 * dd_
+
+        sats = shell(t)
+        # Finite-difference velocity so Doppler is exactly consistent with
+        # the position model (the float filter's arc tracker checks
+        # carrier deltas against Doppler predictions).
+        svel = shell(t + 0.5) - shell(t - 0.5)
         _, els = _azel_np(rov, sats)
         for s in range(n_sats):
             sat = sats[s]
@@ -339,6 +363,7 @@ def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,
             sag_s = OMGE / CL * (sat[0] * station_ecef[1]
                                  - sat[1] * station_ecef[0])
             g.sat_pos[e, s] = sat
+            g.sat_vel[e, s] = svel[s]
             g.psr_rov[e, s] = (rho_u + sag_u + clk
                                + psr_noise * rng.normal())
             g.psr_sta[e, s] = rho_s + sag_s
@@ -346,6 +371,22 @@ def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,
             g.snr[e, s] = 45.0
             g.system[e, s] = 0 if s < n_sats // 2 else 3
             g.valid[e, s] = True
+            g.sat_id[e, s] = int(g.system[e, s]) * 100 + s + 1
+            if carrier:
+                slipped = rng.uniform() < slip_prob
+                if slipped and e > 0:
+                    amb[s] = 30.0 * rng.normal()
+                    g.lli[e, s] = 1
+                los = (rov - sat) / rho_u
+                sag_rate = OMGE / CL * (
+                    svel[s][0] * rov[1] + sat[0] * vr[1]
+                    - svel[s][1] * rov[0] - sat[1] * vr[0])
+                g.dopp_rov[e, s] = (np.dot(vr - svel[s], los) + sag_rate
+                                    + clk_drift)
+                g.car_rov[e, s] = (rho_u + sag_u + clk + amb[s]
+                                   + car_noise * rng.normal())
+                g.car_sta[e, s] = rho_s + sag_s
+                g.car_valid[e, s] = True
         g.master[e] = dd_mod.select_master(
             g.elevation[e], g.valid[e], g.system[e])
     return g

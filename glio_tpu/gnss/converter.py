@@ -85,6 +85,7 @@ def convert(rover_obs_path: str, nav_path: str,
 
     # ---- pass 1: flatten (epoch, sat) records with ephemeris picks ----
     ep_idx, ephs, psr, dopp, snr, sats = [], [], [], [], [], []
+    car, lli = [], []
     t_rx = []
     for k, ep in enumerate(obs.epochs):
         for j, sat in enumerate(ep.sats):
@@ -99,6 +100,8 @@ def convert(rover_obs_path: str, nav_path: str,
             psr.append(ep.psr[j])
             dopp.append(ep.doppler[j])
             snr.append(ep.snr[j])
+            car.append(ep.carrier[j])
+            lli.append(int(ep.lli[j]))
             sats.append(sat)
             t_rx.append(ep.time)
 
@@ -106,8 +109,11 @@ def convert(rover_obs_path: str, nav_path: str,
     psr = np.array(psr)
     dopp = np.array(dopp)
     snr = np.array(snr)
+    car = np.array(car)
+    lli = np.array(lli, np.int8)
     t_rx = np.array(t_rx)
     sysid = np.array([SYS_CHAR[s[0]] for s in sats], np.int8)
+    prn = np.array([int(s[1:]) for s in sats], np.int32)
 
     # ---- batch satellite states ----
     P = stack_ephs(ephs)
@@ -140,6 +146,11 @@ def convert(rover_obs_path: str, nav_path: str,
     sagnac_s = OMGE / CLIGHT * (pos[:, 0] * station_ecef[1]
                                 - pos[:, 1] * station_ecef[0])
     psr_sta_synth = rho_s + sagnac_s - clk * CLIGHT + tgd + iono_s + tropo_s
+    # Station carrier phase: geometric + clock + tropo − iono (phase
+    # advance), no group delay, no ambiguity (a synthesized receiver has
+    # perfect tracking) — what rtkpos' base carrier provides to the float
+    # filter after its own arc ambiguities are absorbed rover-side.
+    car_sta_synth = rho_s + sagnac_s - clk * CLIGHT + tropo_s - iono_s
 
     # ---- scatter into fixed-shape epoch tensors ----
     E = len(obs.epochs)
@@ -154,6 +165,11 @@ def convert(rover_obs_path: str, nav_path: str,
         valid=np.zeros((E, M), bool),
         system=np.zeros((E, M), np.int8),
         master=np.full((E, 4), -1, np.int32),
+        car_rov=np.zeros((E, M)),
+        car_sta=np.zeros((E, M)),
+        car_valid=np.zeros((E, M), bool),
+        lli=np.zeros((E, M), np.int8),
+        sat_id=np.full((E, M), -1, np.int32),
     )
     slot_used = np.zeros(E, np.int32)
     lam = np.array([LAMBDA[int(s)] for s in sysid])
@@ -176,6 +192,13 @@ def convert(rover_obs_path: str, nav_path: str,
         g.elevation[k, s] = el[r]
         g.snr[k, s] = snr[r]
         g.system[k, s] = sysid[r]
+        g.sat_id[k, s] = int(sysid[r]) * 100 + prn[r]
+        g.lli[k, s] = lli[r]
+        has_car = np.isfinite(car[r]) and car[r] != 0.0
+        if has_car:
+            g.car_rov[k, s] = car[r] * lam[r]
+            g.car_sta[k, s] = car_sta_synth[r]
+            g.car_valid[k, s] = True
         sta_real = sta_by_time.get(round(t_rx[r], 2)) if sta_by_time else None
         if sta_real is not None and sats[r] in sta_real:
             g.psr_sta[k, s] = sta_real[sats[r]]

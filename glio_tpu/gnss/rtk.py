@@ -1,21 +1,34 @@
-"""Per-epoch DD (RTK-float-style) positioning.
+"""RTK positioning: per-epoch DD WLS and the carrier-phase float filter.
 
-Capability counterpart of the reference's ``rtkpos`` float solution
-(``RTKLIB/src/rtkpos.cpp`` publishing ``ECEFSolutionRTK`` + covariance,
-SURVEY.md §2.2 #18): estimate the rover position per epoch from
-double-differenced pseudoranges against the base station, with the DD
-covariance propagated for downstream gating (the LC fusion's
-``gnssCovThreshold`` check, Estimator.cpp:1963-1969).
+Counterpart of the reference's ``rtkpos`` (``RTKLIB/src/rtkpos.cpp``,
+SURVEY.md §2.2 #18), which publishes the float RTK solution + covariance
+(``ECEFSolutionRTK``, rtkpos.cpp:1933-1948) that the Estimator's LC stage
+gates on covariance (Estimator.cpp:1963-1969). Two layers:
 
-Carrier-phase ambiguity resolution (LAMBDA) is not implemented — the
-reference's estimator consumes the float/pseudorange solution path; AR is
-an acknowledged gap (tracked in README).
+* ``solve_epoch_dd`` — per-epoch code-only DD Gauss-Newton (the round-1
+  path, kept as the filter's cold-start / fallback),
+* ``float_filter`` — the rtkpos-equivalent forward Kalman filter over
+  (position, velocity, single-difference float ambiguities) fusing DD
+  carrier phase (cm-level, cycle-slip-segmented arcs from the decoded LLI
+  flags + Doppler consistency), DD pseudorange (Huber-gated; deep-urban
+  NLOS reaches hundreds of metres), and Doppler (receiver clock drift
+  eliminated in closed form). TPU-first: the whole mission is ONE
+  ``lax.scan`` over epochs; ambiguity states live in fixed satellite
+  slots re-mapped by a precomputed prev-slot gather, and the measurement
+  update is one information-form (6+M)-dim solve per epoch — no
+  per-satellite host loops (RTKLIB's ``udstate``/``ddres`` pointer
+  machinery becomes tensor index arithmetic).
+
+Carrier-phase integer ambiguity resolution (LAMBDA) operates on this
+filter's float ambiguities + covariance; see ``lambda_ar``.
 """
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..solver.linalg import spd_solve
 from .spp import elesnr_var
@@ -86,3 +99,273 @@ def solve_epoch_dd(sat_pos, psr_rov, psr_sta, valid, system, master,
 
 solve_epochs_dd = jax.vmap(solve_epoch_dd,
                            in_axes=(0, 0, 0, 0, 0, 0, None, 0, 0, None))
+
+
+# --- Carrier-phase float filter (rtkpos parity) -------------------------------
+
+class FloatFilterOut(NamedTuple):
+    pos: jnp.ndarray      # (E, 3) ECEF
+    vel: jnp.ndarray      # (E, 3) ECEF
+    pos_cov: jnp.ndarray  # (E, 3, 3)
+    amb: jnp.ndarray      # (E, M) SD float ambiguities (m)
+    amb_var: jnp.ndarray  # (E, M) diagonal variance of the ambiguities
+    ok: jnp.ndarray       # (E,) enough DDs + finite
+    n_dd: jnp.ndarray     # (E,) code DD count
+    n_car: jnp.ndarray    # (E,) carrier DD count
+
+
+def arc_tracking(gnss, max_gap: float = 2.5, dopp_jump: float = 5.0):
+    """Host-side cycle-slip / arc segmentation (RTKLIB ``detslp_ll`` role).
+
+    Returns (prev_slot (E, M) int32, slip (E, M) bool): prev_slot[k, m] is
+    the slot of the same satellite at epoch k−1 (−1 if absent); slip marks
+    the start of a new carrier arc — LLI bit 0, a tracking gap, a
+    carrier-vs-Doppler prediction jump, or missing carrier.
+    """
+    E, M = gnss.valid.shape
+    prev_slot = np.full((E, M), -1, np.int32)
+    slip = np.ones((E, M), bool)
+    sat_id = np.asarray(gnss.sat_id)
+    car_ok = np.asarray(gnss.car_valid) & np.asarray(gnss.valid)
+    car = np.asarray(gnss.car_rov)
+    dopp = np.asarray(gnss.dopp_rov)
+    t = np.asarray(gnss.time)
+    prev_map = {}
+    prev_t = None
+    for k in range(E):
+        cur_map = {}
+        for m in range(M):
+            sid = sat_id[k, m]
+            if sid < 0 or not gnss.valid[k, m]:
+                continue
+            cur_map[int(sid)] = m
+            pm = prev_map.get(int(sid), -1)
+            prev_slot[k, m] = pm
+            if not car_ok[k, m]:
+                continue
+            if pm < 0 or prev_t is None:
+                continue
+            if int(np.asarray(gnss.lli)[k, m]) & 1:
+                continue
+            dt = t[k] - prev_t
+            if dt > max_gap or not car_ok[k - 1, pm]:
+                continue
+            # Doppler consistency: dopp_rov is stored as range-rate (m/s)
+            # and carrier grows with range, so Δcar ≈ +range_rate·dt
+            # (trapezoid over the interval).
+            pred = 0.5 * (dopp[k, m] + dopp[k - 1, pm]) * dt
+            if abs((car[k, m] - car[k - 1, pm]) - pred) > dopp_jump:
+                continue
+            slip[k, m] = False
+        prev_map = cur_map
+        prev_t = t[k]
+    return prev_slot, slip
+
+
+def _pair_structure(valid, system, master, M):
+    """(pair_mask (M,), master_of (M,)) for one epoch (jit-friendly)."""
+    pair_mask = jnp.zeros((M,), bool)
+    master_of = jnp.zeros((M,), jnp.int32)
+    for s in range(master.shape[0]):
+        mp = master[s]
+        has = mp >= 0
+        m = valid & (system == s) & (jnp.arange(M) != jnp.maximum(mp, 0)) & has
+        pair_mask = pair_mask | m
+        master_of = jnp.where(m, jnp.maximum(mp, 0), master_of)
+    return pair_mask, master_of
+
+
+@partial(jax.jit, static_argnames=("accel_sigma", "code_huber", "car_huber",
+                                   "eratio"))
+def float_filter(sat_pos, sat_vel, sat_ddt, psr_rov, psr_sta, car_rov,
+                 car_sta, car_valid, dopp_rov, valid, system, master,
+                 elevation, snr, prev_slot, slip, times, station_ecef, x0,
+                 accel_sigma: float = 2.0, code_huber: float = 2.0,
+                 car_huber: float = 4.0, eratio: float = 100.0):
+    """Forward float-RTK Kalman filter over the whole mission (one scan).
+
+    All epoch tensors are (E, M) / (E, M, 3); `x0` is the cold-start ECEF
+    position (e.g. first SPP fix). Returns FloatFilterOut.
+    State: [p(3), v(3), SD-ambiguity(M)] with slot-remapped arcs.
+    """
+    E, M = valid.shape
+    N = 6 + M
+    F64 = jnp.float64
+    BIG = 1e4          # variance of a fresh ambiguity (m^2)
+    PHI_RW = 1e-6      # per-step ambiguity random walk (m^2)
+
+    def epoch_update(carry, inp):
+        x, P, t_prev, started = carry
+        (spos, svel, sddt, prov, psta, crov, csta, cok, dop, vld, sysm,
+         mast, el, sn, prev, slp, t_k) = inp
+
+        dt = jnp.clip(jnp.where(started, t_k - t_prev, 0.0), 0.0, 10.0)
+
+        # --- predict ---
+        p, v = x[:3], x[3:6]
+        p = p + v * dt
+        F = jnp.eye(N, dtype=F64)
+        F = F.at[:3, 3:6].set(jnp.eye(3, dtype=F64) * dt)
+        q_acc = accel_sigma ** 2
+        Qpv = jnp.zeros((6, 6), F64)
+        Qpv = Qpv.at[:3, :3].set(jnp.eye(3, dtype=F64)
+                                 * (q_acc * dt ** 3 / 3.0 + 1e-8))
+        Qpv = Qpv.at[:3, 3:].set(jnp.eye(3, dtype=F64) * (q_acc * dt ** 2 / 2))
+        Qpv = Qpv.at[3:, :3].set(jnp.eye(3, dtype=F64) * (q_acc * dt ** 2 / 2))
+        Qpv = Qpv.at[3:, 3:].set(jnp.eye(3, dtype=F64) * (q_acc * dt + 1e-8))
+        P = F @ P @ F.T
+        P = P.at[:6, :6].add(Qpv)
+        P = P.at[jnp.arange(6, N), jnp.arange(6, N)].add(PHI_RW)
+        x = x.at[:3].set(p)
+
+        # --- re-map ambiguity slots to this epoch's satellites ---
+        idx = jnp.where(prev >= 0, prev, M)                  # M = pad slot
+        a_pad = jnp.concatenate([x[6:], jnp.zeros(1, F64)])
+        a_new = a_pad[idx]
+        # P permutation: pad a zero row/col then gather.
+        Ppad = jnp.zeros((N + 1, N + 1), F64).at[:N, :N].set(P)
+        gidx = jnp.concatenate([jnp.arange(6), 6 + idx])
+        P = Ppad[gidx][:, gidx]
+        x = x.at[6:].set(a_new)
+
+        # --- fresh arcs: initialize from code-minus-carrier ---
+        sd_psr = prov - psta
+        sd_car = jnp.where(cok, crov - csta, 0.0)
+        fresh = slp & cok & vld
+        a_init = sd_car - sd_psr
+        x = x.at[6:].set(jnp.where(fresh, a_init, x[6:]))
+        # zero cross-covariance + big variance for fresh/absent slots
+        freshM = fresh | (idx == M)
+        mask_keep = ~freshM
+        keepN = jnp.concatenate([jnp.ones(6, bool), mask_keep])
+        P = P * keepN[:, None] * keepN[None, :]
+        P = P.at[jnp.arange(6, N), jnp.arange(6, N)].set(
+            jnp.where(freshM, BIG, jnp.diag(P)[6:]))
+
+        # --- measurement geometry ---
+        d = spos - x[:3]
+        rho_u = jnp.linalg.norm(d, axis=-1)
+        rho_r = jnp.linalg.norm(spos - station_ecef, axis=-1)
+        los = -d / jnp.maximum(rho_u, 1.0)[:, None]          # d rho / d p
+        pair_mask, master_of = _pair_structure(vld, sysm, mast, M)
+
+        sd_geom = rho_u - rho_r
+        # Code DD rows.
+        res_code = ((sd_psr - sd_psr[master_of])
+                    - (sd_geom - sd_geom[master_of]))
+        H_code = jnp.zeros((M, N), F64)
+        H_code = H_code.at[:, :3].set(los - los[master_of])
+        m_code = pair_mask
+        # Carrier DD rows (only where both ends of the pair have carrier).
+        cok_pair = cok & cok[master_of] & pair_mask
+        res_car = ((sd_car - sd_car[master_of])
+                   - (sd_geom - sd_geom[master_of])
+                   - (x[6:] - x[6:][master_of]))
+        H_car = jnp.zeros((M, N), F64)
+        H_car = H_car.at[:, :3].set(los - los[master_of])
+        H_car = H_car.at[jnp.arange(M), 6 + jnp.arange(M)].add(1.0)
+        H_car = H_car.at[jnp.arange(M), 6 + master_of].add(-1.0)
+
+        # Whitening: per-satellite goGPS sigma of the non-master satellite
+        # (dominant term), eratio between code and carrier (RTKLIB
+        # prcopt eratio=100).
+        sig_code = jnp.sqrt(elesnr_var(el, sn) + elesnr_var(
+            el[master_of], sn[master_of]))
+        w_code = jnp.where(m_code, 1.0 / sig_code, 0.0)
+        w_car = jnp.where(cok_pair, eratio / sig_code, 0.0)
+
+        # Robust innovation gating (deep-urban NLOS on code; missed slips
+        # on carrier).
+        zc = res_code * w_code
+        w_code = w_code * jnp.minimum(
+            1.0, code_huber / jnp.maximum(jnp.abs(zc), 1e-9))
+        zp = res_car * w_car
+        w_car = w_car * jnp.minimum(
+            1.0, car_huber / jnp.maximum(jnp.abs(zp), 1e-9))
+
+        # Doppler rows (velocity observability; receiver clock drift
+        # eliminated in closed form as in models.batch._dopp_residuals).
+        OMGE_, CL = 7.2921151467e-5, 299792458.0
+        sag = OMGE_ / CL * (svel[:, 0] * x[1] + spos[:, 0] * x[4]
+                            - svel[:, 1] * x[0] - spos[:, 1] * x[3])
+        dop_est = jnp.sum((svel - x[3:6]) * (-los), axis=-1) + sag - sddt
+        # Innovation (z − h), receiver clock drift (common to all rows)
+        # eliminated by subtracting the weighted mean.
+        a_row = dop - dop_est
+        wd = vld.astype(F64)
+        nd = jnp.maximum(jnp.sum(wd), 1.0)
+        res_dop = jnp.where(vld, a_row - jnp.sum(wd * a_row) / nd, 0.0)
+        # ∂dop_est/∂v = los; the closed-form ddt elimination subtracts the
+        # valid-row mean: ∂res/∂v = los − mean_valid(los).
+        H_dop = jnp.zeros((M, N), F64)
+        H_dop = H_dop.at[:, 3:6].set(
+            (los - jnp.sum(los * wd[:, None], 0) / nd) * wd[:, None])
+        sig_dop = 0.5
+        w_dop = jnp.where(vld, 1.0 / sig_dop, 0.0)
+        zd = res_dop * w_dop
+        w_dop = w_dop * jnp.minimum(
+            1.0, 3.0 / jnp.maximum(jnp.abs(zd), 1e-9))
+
+        # --- information-form update ---
+        H = jnp.concatenate([H_code * w_code[:, None],
+                             H_car * w_car[:, None],
+                             H_dop * w_dop[:, None]], axis=0)
+        r = jnp.concatenate([res_code * w_code, res_car * w_car,
+                             res_dop * w_dop])
+        Lam = spd_solve(P + 1e-9 * jnp.eye(N, dtype=F64),
+                        jnp.eye(N, dtype=F64))
+        Lam = 0.5 * (Lam + Lam.T) + H.T @ H
+        dx = spd_solve(Lam, H.T @ r)
+        x = x + dx
+        P = spd_solve(Lam, jnp.eye(N, dtype=F64))
+        P = 0.5 * (P + P.T)
+
+        n_dd = jnp.sum(m_code)
+        n_car = jnp.sum(cok_pair)
+        ok = (n_dd >= 4) & jnp.all(jnp.isfinite(x[:6]))
+        out = FloatFilterOut(
+            pos=x[:3], vel=x[3:6], pos_cov=P[:3, :3],
+            amb=x[6:], amb_var=jnp.diag(P)[6:],
+            ok=ok, n_dd=n_dd, n_car=n_car)
+        return (x, P, t_k, started | True), out
+
+    x0f = jnp.zeros(N, F64).at[:3].set(jnp.asarray(x0, F64))
+    P0 = jnp.eye(N, dtype=F64) * BIG
+    P0 = P0.at[:3, :3].set(jnp.eye(3, dtype=F64) * 1e4)
+    P0 = P0.at[3:6, 3:6].set(jnp.eye(3, dtype=F64) * 1e2)
+
+    inputs = (sat_pos, sat_vel, sat_ddt, psr_rov, psr_sta, car_rov,
+              car_sta, car_valid, dopp_rov, valid, system, master,
+              elevation, snr, prev_slot, slip, times)
+    (_, _, _, _), outs = jax.lax.scan(
+        epoch_update,
+        (x0f, P0, jnp.asarray(times[0], F64), jnp.asarray(False)), inputs)
+    return outs
+
+
+def run_float_filter(gnss, station_ecef, x0, **kw):
+    """Convenience wrapper: GnssEpochs → FloatFilterOut (handles arc
+    tracking and missing-carrier fallbacks)."""
+    E, M = gnss.valid.shape
+    if gnss.car_rov is None:
+        car_rov = np.zeros((E, M))
+        car_sta = np.zeros((E, M))
+        car_ok = np.zeros((E, M), bool)
+    else:
+        car_rov = gnss.car_rov
+        car_sta = gnss.car_sta
+        car_ok = gnss.car_valid
+    prev_slot, slip = (arc_tracking(gnss) if gnss.sat_id is not None
+                       else (np.full((E, M), -1, np.int32),
+                             np.ones((E, M), bool)))
+    return float_filter(
+        jnp.asarray(gnss.sat_pos), jnp.asarray(gnss.sat_vel),
+        jnp.asarray(gnss.sat_ddt), jnp.asarray(gnss.psr_rov),
+        jnp.asarray(gnss.psr_sta), jnp.asarray(car_rov),
+        jnp.asarray(car_sta), jnp.asarray(car_ok),
+        jnp.asarray(gnss.dopp_rov), jnp.asarray(gnss.valid),
+        jnp.asarray(gnss.system, jnp.int32), jnp.asarray(gnss.master),
+        jnp.asarray(gnss.elevation), jnp.asarray(gnss.snr),
+        jnp.asarray(prev_slot), jnp.asarray(slip),
+        jnp.asarray(gnss.time), jnp.asarray(station_ecef),
+        jnp.asarray(x0), **kw)

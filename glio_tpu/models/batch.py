@@ -97,24 +97,38 @@ def despike_trajectory(p_odo, q_odo, kf_time, vmax: float = 30.0,
     q = np.array(q_odo, float)
     t = np.asarray(kf_time, float)
     T = p.shape[0]
+    max_width = 5
     n_fixed = 0
     for _ in range(max_passes):
-        hop = np.linalg.norm(np.diff(p, axis=0), axis=-1)
         dt = np.maximum(np.diff(t), 1e-3)
-        speed = hop / dt
+        speed = np.linalg.norm(np.diff(p, axis=0), axis=-1) / dt
+        bad = np.where(speed > vmax)[0]       # hop k → k+1 implausible
         fixed_this_pass = 0
-        for k in range(1, T - 1):
-            if speed[k - 1] <= vmax or speed[k] <= vmax:
+        used = set()
+        for a in bad:
+            if a in used:
                 continue
-            bridge = np.linalg.norm(p[k + 1] - p[k - 1]) / max(
-                t[k + 1] - t[k - 1], 1e-3)
-            if bridge >= vmax:
-                continue
-            a = (t[k] - t[k - 1]) / max(t[k + 1] - t[k - 1], 1e-3)
-            p[k] = (1.0 - a) * p[k - 1] + a * p[k + 1]
-            q[k] = slerp_np(q[k - 1], q[k + 1], a)
-            fixed_this_pass += 1
-        # Trailing spike: dead-reckon from the last plausible hop.
+            # Excursion segment = poses a+1..b, bounded by implausible
+            # entry hop a and exit hop b (b ≥ a), with a plausible bridge
+            # a → b+1 across it.
+            for b in bad:
+                if b < a or b - a > max_width or b in used:
+                    continue
+                if b + 1 >= T:
+                    continue
+                bridge = np.linalg.norm(p[b + 1] - p[a]) / max(
+                    t[b + 1] - t[a], 1e-3)
+                if bridge >= vmax:
+                    continue
+                for k in range(a + 1, b + 1):
+                    w = (t[k] - t[a]) / max(t[b + 1] - t[a], 1e-3)
+                    p[k] = (1.0 - w) * p[a] + w * p[b + 1]
+                    q[k] = slerp_np(q[a], q[b + 1], w)
+                    fixed_this_pass += 1
+                used.update(range(a, b + 1))
+                break
+        # Trailing spike (no exit hop): dead-reckon from the last
+        # plausible hop.
         if T >= 3 and np.linalg.norm(p[-1] - p[-2]) / max(
                 t[-1] - t[-2], 1e-3) > vmax:
             p[-1] = p[-2] + (p[-2] - p[-3]) * (

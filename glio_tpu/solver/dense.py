@@ -62,6 +62,7 @@ def lm_solve(
     lambda_max: float = 1e8,
     dtype=jnp.float64,
     residual32_fn=None,
+    mixed_chol: bool = True,
 ) -> LMResult:
     """Levenberg–Marquardt on a manifold.
 
@@ -77,6 +78,10 @@ def lm_solve(
         emulated; an f32 J costs ~ a third). Residual values, costs and
         accept/reject stay f64, so the converged solution is unchanged to
         ~1e-5 relative step accuracy — LM re-evaluates the true cost.
+      mixed_chol: factor the damped normal equations in f32 with f64
+        iterative refinement (linalg.spd_solve_refined) — ~6x faster on
+        TPU at f64-equivalent step accuracy. Set False for exact-f64
+        paths (CPU baselines, debugging).
 
     Returns LMResult. Fully jit-compatible.
     """
@@ -104,7 +109,9 @@ def lm_solve(
         # Cholesky stays PD and their step is exactly zero.
         dH = jnp.diag(H)
         D = jnp.diag(jnp.where(dH > 1e-10, dH, 1.0))
-        delta = -linalg.spd_solve(H + lam * D, g)
+        solve = (linalg.spd_solve_refined if mixed_chol
+                 else linalg.spd_solve)
+        delta = -solve(H + lam * D, g)
         x_new = retract_fn(x, delta)
         new_cost = _cost(residual_fn(x_new))
         improved = new_cost < cost

@@ -22,6 +22,69 @@ def spd_solve(H, b, jitter: float = 0.0):
     return jax.scipy.linalg.solve_triangular(L, y, lower=True, trans=1)
 
 
+def spd_solve_refined(H, b, refine: int = 2):
+    """f64-accurate SPD solve with an f32 Cholesky factorization.
+
+    TPU f64 is emulated and XLA's blocked Cholesky/triangular-solve loops
+    pay ~6x for it (measured: 75x75 f64 solve 5.0 ms vs f32 0.8 ms on
+    v5e); classical iterative refinement recovers f64 accuracy from the
+    f32 factor: x += solve32(r) with the residual r = b − Hx accumulated
+    in f64 (one cheap matmul per sweep). Two sweeps reach ~cond(H)·1e-13
+    relative error — indistinguishable from the direct f64 solve for the
+    well-damped Gauss-Newton systems here.
+
+    H must be f64 (the residual accumulation dtype); returns f64.
+    """
+    H32 = H.astype(jnp.float32)
+    L32 = jnp.linalg.cholesky(H32)
+
+    def solve32(r):
+        r32 = r.astype(jnp.float32)
+        y = jax.scipy.linalg.solve_triangular(L32, r32, lower=True)
+        z = jax.scipy.linalg.solve_triangular(L32, y, lower=True, trans=1)
+        return z.astype(H.dtype)
+
+    x = solve32(b)
+    for _ in range(refine):
+        r = b - H @ x
+        x = x + solve32(r)
+    return x
+
+
+def chol_sqrt_refined(A, g=None):
+    """f64-accurate upper-triangular S (SᵀS = A) from an f32 Cholesky.
+
+    One Newton correction on the factor: with S₁ = chol32(A)ᵀ and
+    E = A − S₁ᵀS₁ (computed in f64 — E is tiny, so f32 arithmetic *on E*
+    keeps its relative precision), the unique upper-triangular correction
+    solving S₁ᵀΔ + ΔᵀS₁ = E is Δ = (triu(M, 1) + ½·diag(M)) · S₁ with
+    M = S₁⁻ᵀ E S₁⁻¹ (two cheap f32 triangular solves). Final error
+    ~‖E‖²/‖A‖ ≈ f64 roundoff for well-damped GN systems.
+
+    If ``g`` is given, also returns r0 with Sᵀ r0 = g (one refinement
+    sweep, same f32 factor). Assumes A is SPD and f64.
+    """
+    F32 = jnp.float32
+    L32 = jnp.linalg.cholesky(A.astype(F32))
+    S1 = L32.T.astype(A.dtype)
+    E = A - S1.T @ S1
+    X = jax.scipy.linalg.solve_triangular(L32, E.astype(F32), lower=True)
+    M = jax.scipy.linalg.solve_triangular(
+        L32, X.T, lower=True).T.astype(A.dtype)   # S₁⁻ᵀ E S₁⁻¹
+    Y = jnp.triu(M, 1) + 0.5 * jnp.diag(jnp.diag(M))
+    S = S1 + Y @ S1
+    if g is None:
+        return S
+
+    def tsolve32(r):
+        return jax.scipy.linalg.solve_triangular(
+            L32, r.astype(F32), lower=True).astype(A.dtype)
+
+    r0 = tsolve32(g)
+    r0 = r0 + tsolve32(g - S.T @ r0)
+    return S, r0
+
+
 def solve_3x3(A, b, eps: float = 0.0):
     """Closed-form 3×3 solve by adjugate/determinant (batched).
 

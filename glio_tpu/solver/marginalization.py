@@ -46,13 +46,36 @@ def identity_prior(n_keep: int, dtype=jnp.float64) -> MarginalPrior:
     )
 
 
-def _clipped_sqrt_and_isqrt(A, eps):
+def _clipped_sqrt_and_isqrt(A, eps, mixed: bool = False):
     """Eigen-clipped (A^{1/2}, A^{-1}) pair for a symmetric matrix.
 
     Matches the reference's SelfAdjointEigenSolver-based pseudo-inverse and
     square-root-information recovery (``MarginalizationFactor.cpp:176-231``):
-    eigenvalues below eps are treated as exactly zero.
+    eigenvalues below eps are treated as exactly zero. With ``mixed`` the
+    eigendecomposition runs in f32 (TPU f64 eigh is ~2x emulated cost);
+    the ~1e-4-relative perturbation of the clipped pseudo-inverse is far
+    below the linearization error the marginal prior already carries.
     """
+    if mixed:
+        # Diagonal equilibration before the f32 eigh: the window's
+        # information spans ~1e6 dynamic range (IMU sqrt-info vs pose
+        # rows), which plain f32 cannot hold. Ã = D⁻¹AD⁻¹ has unit
+        # diagonal; reconstruct in f64.
+        d = jnp.sqrt(jnp.maximum(jnp.diag(A), 1e-12))
+        At = A / d[:, None] / d[None, :]
+        w32, V32 = jnp.linalg.eigh(At.astype(jnp.float32))
+        w, V = w32.astype(A.dtype), V32.astype(A.dtype)
+        ok = w > eps
+        w_c = jnp.where(ok, w, 1.0)
+        inv_t = (V * jnp.where(ok, 1.0 / w_c, 0.0)) @ V.T
+        sqrt_t = (V * jnp.where(ok, jnp.sqrt(w_c), 0.0)) @ V.T
+        inv_t = inv_t / d[:, None] / d[None, :]
+        # One Newton–Schulz sweep in f64 (X ← X(2I − AX)) squares the
+        # f32 eigh's relative error; range space is preserved, so the
+        # clipped pseudo-inverse semantics survive.
+        inv = inv_t @ (2.0 * jnp.eye(A.shape[0], dtype=A.dtype) - A @ inv_t)
+        sqrt = sqrt_t * d[None, :]   # sqrtᵀ sqrt = D Ã D = A (up to clip)
+        return sqrt, inv
     w, V = jnp.linalg.eigh(A)
     ok = w > eps
     w_c = jnp.where(ok, w, 1.0)
@@ -62,7 +85,7 @@ def _clipped_sqrt_and_isqrt(A, eps):
 
 
 def marginalize(H: jnp.ndarray, b: jnp.ndarray, n_drop: int,
-                eps: float = 1e-8) -> MarginalPrior:
+                eps: float = 1e-8, mixed_chol: bool = True) -> MarginalPrior:
     """Schur-eliminate the leading n_drop tangent dims of (H, b).
 
     Args:
@@ -86,7 +109,8 @@ def marginalize(H: jnp.ndarray, b: jnp.ndarray, n_drop: int,
     bm = b[:n_drop]
     br = b[n_drop:]
 
-    _, Hmm_inv = _clipped_sqrt_and_isqrt(0.5 * (Hmm + Hmm.T), eps)
+    _, Hmm_inv = _clipped_sqrt_and_isqrt(0.5 * (Hmm + Hmm.T), eps,
+                                         mixed=mixed_chol)
     A = Hrr - Hrm @ Hmm_inv @ Hmr
     g = br - Hrm @ Hmm_inv @ bm
 
@@ -96,9 +120,22 @@ def marginalize(H: jnp.ndarray, b: jnp.ndarray, n_drop: int,
     # the eigenvalue clip's role for null directions, adding only 1e-8
     # information) and avoids a second large f64 eigh on TPU.
     A = 0.5 * (A + A.T) + eps * jnp.eye(A.shape[0], dtype=A.dtype)
-    L = jnp.linalg.cholesky(A)
-    S = L.T                               # SᵀS = A
-    r0 = jax.scipy.linalg.solve_triangular(L, g, lower=True)  # Sᵀ r0 = g
+    if mixed_chol:
+        # f32 factor + one Newton refinement of the factor itself, with
+        # diagonal equilibration (the window information spans ~1e6
+        # dynamic range): A = D Ã D, S̃ = refined chol(Ã)ᵀ, S = S̃ D.
+        # TPU f64 Cholesky is ~6x emulated cost; the refined factor is
+        # f64-grade (linalg.chol_sqrt_refined).
+        from .linalg import chol_sqrt_refined
+        d = jnp.sqrt(jnp.maximum(jnp.diag(A), eps))
+        At = A / d[:, None] / d[None, :]
+        # Sᵀ r0 = g  ⇔  D S̃ᵀ r0 = g  ⇔  S̃ᵀ r0 = g/d.
+        St, r0 = chol_sqrt_refined(At, g / d)
+        S = St * d[None, :]
+    else:
+        L = jnp.linalg.cholesky(A)
+        S = L.T                               # SᵀS = A
+        r0 = jax.scipy.linalg.solve_triangular(L, g, lower=True)
     return MarginalPrior(sqrt_jac=S, sqrt_res=r0, valid=jnp.asarray(True))
 
 

@@ -1,7 +1,22 @@
 """Experiment: batch fusion on golden-SW odometry + real Whampoa DD.
 
 Compares our batch stage output against the reference's own
-tc_batch_result.csv (see tests/test_batch.py for the assertions)."""
+tc_batch_result.csv (see tests/test_batch.py for the assertions).
+
+Data floor (measured, round 2): the reference's base-station RINEX
+(hksc1410.21o) is not redistributed, so the station is synthesized from
+Klobuchar/Saastamoinen models (the nav file carries no broadcast iono
+coefficients — RTKCONV stripped them). The residual (true − model)
+atmosphere at the station is a smooth, time-varying, elevation-dependent
+bias worth ~5-15 m of vertical pull over this 20-min mission (measured
+per-epoch against the golden trajectory: robust DD-only fixes have a
++5..+45 m slowly-growing vertical bias and ~60 m median 3D scatter from
+deep-urban NLOS). The robust solve below (IRLS Huber on whitened DD rows,
+per-epoch chi^2 gating, Huber'd relatives, isolated-spike despiking of
+the SW init) tracks the golden batch to ~8.6 m RMSE / 15.5 m max — the
+remaining error is the smooth vertical hump that only a physical base
+station can cancel.
+"""
 import time
 
 import numpy as np
@@ -20,6 +35,9 @@ ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
 STATION = np.array([-2414266.9200, 5386768.9870, 2407460.0310])
 DATA = "/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/urbannavWhampoa"
 
+# Round-2 robust configuration (swept: see PROGRESS.jsonl r2).
+ROBUST = B.RobustOpts(dd_huber=1.0, epoch_gate=2.0, rel_huber=5.0)
+
 
 def main(lm_iters=(40, 12, 8, 8), pcg_iters=250):
     sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
@@ -34,7 +52,7 @@ def main(lm_iters=(40, 12, 8, 8), pcg_iters=250):
     t0 = time.time()
     p, q, costs = B.optimize_batch(
         cfg, prob, thresholds=(1e9, 10.0, 8.0, 6.0),
-        lm_iters=lm_iters, pcg_iters=pcg_iters)
+        lm_iters=lm_iters, pcg_iters=pcg_iters, robust=ROBUST)
     p = np.asarray(p)
     print("solve", round(time.time() - t0, 1), "s; costs",
           [round(c) for c in costs], flush=True)
@@ -42,8 +60,13 @@ def main(lm_iters=(40, 12, 8, 8), pcg_iters=250):
     r1, e1 = ate_rmse(p[ia], bt.enu[ib])
     off = np.median(p[ia] - bt.enu[ib], axis=0)
     r2, e2 = ate_rmse(p[ia] - off, bt.enu[ib])
+    h = np.linalg.norm((p[ia] - bt.enu[ib])[:, :2], axis=1)
+    v = (p[ia] - bt.enu[ib])[:, 2]
     print(f"OURS vs golden-batch: rmse {r1:.2f} max {e1.max():.1f} "
           f"median {np.median(e1):.2f}")
+    print(f"  horiz rmse {np.sqrt((h**2).mean()):.2f} max {h.max():.1f} | "
+          f"vert rmse {np.sqrt((v**2).mean()):.2f} "
+          f"(smooth synthetic-station atmosphere hump — see module doc)")
     print(f"offset {off.round(2)}; shape rmse {r2:.2f} max {e2.max():.1f} "
           f"median {np.median(e2):.2f}")
     np.save("/tmp/our_batch_p.npy", p)

@@ -36,6 +36,51 @@ def problem():
     return cfg, prob, p_true, p_odo
 
 
+def test_despike_repairs_isolated_jumps():
+    """Isolated single-keyframe excursions (as in the reference's own
+    tc_sw_result.csv, up to ~634 m) must be repaired by interpolation;
+    plausible motion must be untouched."""
+    T = 60
+    kf_time = np.arange(T) / 3.0
+    p = np.stack([10 * kf_time, np.zeros(T), np.zeros(T)], -1)
+    q = np.tile([1.0, 0, 0, 0], (T, 1))
+    p_bad = p.copy()
+    p_bad[20] += np.array([300.0, -200.0, 150.0])
+    p_bad[21] += np.array([300.0, -200.0, 150.0])  # 2-kf spike
+    p_bad[40] += np.array([-500.0, 0.0, 80.0])     # isolated spike
+    p_fix, q_fix, n = B.despike_trajectory(p_bad, q, kf_time)
+    assert n >= 3
+    np.testing.assert_allclose(p_fix, p, atol=1e-6)
+    # A clean trajectory is a no-op.
+    p_same, _, n0 = B.despike_trajectory(p, q, kf_time)
+    assert n0 == 0
+    np.testing.assert_allclose(p_same, p)
+
+
+def test_robust_opts_heal_outlier_epochs(problem):
+    """Inject gross (300 m) pseudorange outliers into 10% of epochs: the
+    robust solve must stay within ~1 m of the clean solve; the plain solve
+    is measurably corrupted."""
+    cfg, prob, p_true, p_odo = problem
+    rng = np.random.default_rng(7)
+    psr = np.asarray(prob.psr_rov).copy()
+    E = psr.shape[0]
+    bad = rng.choice(E, E // 10, replace=False)
+    psr[bad] += 300.0 * rng.normal(size=psr[bad].shape)
+    prob_bad = prob._replace(psr_rov=jnp.asarray(psr))
+
+    p_clean, _, _ = B.optimize_batch(cfg, prob, lm_iters=8)
+    p_plain, _, _ = B.optimize_batch(cfg, prob_bad, lm_iters=8)
+    rob = B.RobustOpts(dd_huber=1.0, epoch_gate=2.0, rel_huber=5.0)
+    p_rob, _, _ = B.optimize_batch(cfg, prob_bad, lm_iters=8, robust=rob)
+
+    d_plain = np.linalg.norm(np.asarray(p_plain) - np.asarray(p_clean),
+                             axis=-1)
+    d_rob = np.linalg.norm(np.asarray(p_rob) - np.asarray(p_clean), axis=-1)
+    assert d_rob.max() < 2.0, d_rob.max()
+    assert d_rob.max() < 0.5 * d_plain.max(), (d_rob.max(), d_plain.max())
+
+
 def test_batch_one_shot_reduces_cost(problem):
     """One-shot batch: reference weights make smooth accumulated drift a
     near-equilibrium (relatives 20/m vs DD ~0.5/m), so we assert cost

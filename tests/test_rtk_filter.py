@@ -1,0 +1,115 @@
+"""RTK float-filter tests (rtkpos parity layer, VERDICT r1 #4).
+
+Simulated GNSS with carrier: the forward Kalman filter over
+(position, velocity, SD float ambiguities) must beat per-epoch code DD
+by an order of magnitude once arcs converge, and survive cycle slips.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from glio_tpu.data.simulator import simulate_gnss_epochs
+from glio_tpu.gnss import rtk
+from glio_tpu.utils import coords as C
+
+ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
+STATION = np.array([-2414266.92, 5386768.987, 2407460.031])
+
+
+def _traj(T=240):
+    kf_time = np.arange(T) / 3.0
+    th = np.linspace(0, 3, T)
+    p = np.stack([40 * th, 15 * np.sin(th), 0.5 * th], -1)
+    return kf_time, p
+
+
+def _gt_ecef(p_enu):
+    return np.asarray(C.enu2ecef(jnp.asarray(p_enu), jnp.asarray(ANCHOR)))
+
+
+@pytest.fixture(scope="module")
+def sim():
+    kf_time, p_true = _traj()
+    g = simulate_gnss_epochs(p_true, kf_time, ANCHOR, STATION,
+                             psr_noise=2.0, epoch_stride=3, seed=11,
+                             carrier=True, car_noise=0.005)
+    idx = np.arange(0, len(kf_time), 3)
+    return g, _gt_ecef(p_true)[idx]
+
+
+class TestArcTracking:
+    def test_prev_slot_identity(self, sim):
+        g, _ = sim
+        prev_slot, slip = rtk.arc_tracking(g)
+        # The simulator keeps satellites in fixed slots: wherever a sat is
+        # valid at two consecutive epochs, prev_slot must point at itself.
+        for k in range(1, 6):
+            both = g.valid[k] & g.valid[k - 1] & (g.sat_id[k] >= 0)
+            assert np.all(prev_slot[k][both] == np.where(both)[0])
+
+    def test_continuous_arcs_not_slipped(self, sim):
+        g, _ = sim
+        _, slip = rtk.arc_tracking(g)
+        cont = g.car_valid & (np.asarray(g.lli) & 1 == 0)
+        cont[0] = False
+        # Ignore first epoch of each satellite's life; the bulk of
+        # continuous rows must not be flagged.
+        frac = slip[cont].mean()
+        assert frac < 0.05, frac
+
+
+class TestFloatFilter:
+    def test_beats_code_dd(self, sim):
+        g, gt = sim
+        out = rtk.run_float_filter(g, STATION, gt[0] + 20.0)
+        pos = np.asarray(out.pos)
+        err = np.linalg.norm(pos - gt, axis=-1)
+        # After convergence (skip the first 30 epochs) the carrier-driven
+        # solution is cm-dm level despite 2 m code noise.
+        tail = err[30:]
+        assert np.median(tail) < 0.3, np.median(tail)
+
+        fixes, _, _, _ = rtk.solve_epochs_dd(
+            jnp.asarray(g.sat_pos), jnp.asarray(g.psr_rov),
+            jnp.asarray(g.psr_sta), jnp.asarray(g.valid),
+            jnp.asarray(g.system, jnp.int32), jnp.asarray(g.master),
+            jnp.asarray(STATION), jnp.asarray(g.elevation),
+            jnp.asarray(g.snr), jnp.asarray(gt[0]))
+        err_code = np.linalg.norm(np.asarray(fixes) - gt, axis=-1)[30:]
+        assert np.median(tail) < 0.3 * np.median(err_code), (
+            np.median(tail), np.median(err_code))
+
+    def test_velocity_observed(self, sim):
+        g, gt = sim
+        out = rtk.run_float_filter(g, STATION, gt[0])
+        vel = np.asarray(out.vel)
+        # True speed ~13 m/s; filter velocity should track within ~1 m/s.
+        v_true = np.gradient(gt, np.asarray(g.time), axis=0)
+        verr = np.linalg.norm(vel - v_true, axis=-1)[30:]
+        assert np.median(verr) < 1.0, np.median(verr)
+
+    def test_survives_cycle_slips(self):
+        kf_time, p_true = _traj()
+        g = simulate_gnss_epochs(p_true, kf_time, ANCHOR, STATION,
+                                 psr_noise=2.0, epoch_stride=3, seed=12,
+                                 carrier=True, car_noise=0.005,
+                                 slip_prob=0.02)
+        idx = np.arange(0, len(kf_time), 3)
+        gt = _gt_ecef(p_true)[idx]
+        out = rtk.run_float_filter(g, STATION, gt[0] + 20.0)
+        err = np.linalg.norm(np.asarray(out.pos) - gt, axis=-1)[30:]
+        # With a slip every ~4 epochs somewhere in the constellation, the
+        # absolute fix is bounded by code noise re-convergence (~1 m for
+        # 2 m code noise); still 3x better than per-epoch code DD.
+        assert np.median(err) < 1.8, np.median(err)
+        assert err.max() < 8.0, err.max()
+
+    def test_no_carrier_falls_back_to_code_level(self, sim):
+        g, gt = sim
+        import dataclasses
+        g2 = dataclasses.replace(g, car_valid=np.zeros_like(g.car_valid))
+        out = rtk.run_float_filter(g2, STATION, gt[0] + 20.0)
+        err = np.linalg.norm(np.asarray(out.pos) - gt, axis=-1)[30:]
+        # Code + Doppler only: still bounded (filter smooths 2 m noise).
+        assert np.median(err) < 3.0, np.median(err)
