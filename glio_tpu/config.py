@@ -88,6 +88,11 @@ class EstimatorConfig:
     # DD outlier down-weight threshold (m) for the in-window factors
     # (batch anneals {1e9,10,8,6}; the window uses one fixed stage).
     window_dd_threshold: float = 10.0
+    # Doppler + receiver-clock-drift factors in the window (active only
+    # with gnss_in_sliding_window; the reference carries tcdopplerFactor +
+    # constantClockDriftFactor in the same compiled-out block,
+    # Estimator.cpp:2290-2345, dopp_factor.hpp:19-103).
+    doppler_in_window: bool = True
     # Debug switch: disable the marginalization prior (anchor instead).
     enable_marginalization: bool = True
     # Doppler factors in the batch stage (the reference ships them

@@ -89,6 +89,15 @@ class Episode:
     # None = "not set by the dataset" (falls back to the config value);
     # 0.0 is a legitimate yaw and must be distinguishable from unset.
     yaw_enu_local: Optional[float] = None
+    # Optional dense (non-key) frame odometry per keyframe segment — the
+    # reference's 10 Hz ``/each_odom`` stream that feeds
+    # ``optimizeLocalGraph`` (Estimator.cpp:4274-4558).  Hop j→j+1 along
+    # segment k, frame 0 = left keyframe, last valid hop ends at the right
+    # keyframe (models.local_graph.interpolate_segments contract).
+    dense_rel_dp: Optional[np.ndarray] = None     # (T-1, D+1, 3)
+    dense_rel_dq: Optional[np.ndarray] = None     # (T-1, D+1, 4)
+    dense_rel_valid: Optional[np.ndarray] = None  # (T-1, D+1) bool
+    dense_time: Optional[np.ndarray] = None       # (T-1, D) interior times
 
     @property
     def num_keyframes(self):
@@ -109,6 +118,11 @@ class Episode:
             whiten=jnp.asarray(b["gnss_whiten"]),
             ratio=jnp.asarray(b["gnss_ratio"]),
             valid=jnp.asarray(b["gnss_valid"]),
+            sat_vel=jnp.asarray(b["gnss_sat_vel"]),
+            sat_ddt=jnp.asarray(b["gnss_sat_ddt"]),
+            dopp=jnp.asarray(b["gnss_dopp"]),
+            dopp_valid=jnp.asarray(b["gnss_dopp_valid"]),
+            dopp_std=jnp.asarray(b["gnss_dopp_std"]),
         )
         return KeyframeInput(
             imu_acc=jnp.asarray(self.imu_acc),

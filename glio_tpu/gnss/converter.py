@@ -24,8 +24,9 @@ import numpy as np
 from ..data.episode import GnssEpochs
 from ..utils import coords as C
 from . import atmosphere, dd
-from .ephemeris import CLIGHT, stack_ephs, tx_state_batch
-from .rinex import SYS_BDS, SYS_CHAR, parse_nav, parse_obs, select_eph
+from .ephemeris import CLIGHT, glo_tx_state, stack_ephs, tx_state_batch
+from .rinex import (SYS_BDS, SYS_CHAR, SYS_GLO, parse_nav, parse_nav_glo,
+                    parse_obs, select_eph, select_geph)
 
 FREQ_L1 = 1.57542e9
 FREQ_B1 = 1.561098e9
@@ -83,20 +84,33 @@ def convert(rover_obs_path: str, nav_path: str,
         # back to the base station for elevation/atmosphere geometry.
         approx = station_ecef
 
+    # GLONASS records decode from the same nav file (state-vector format;
+    # python path — the native decoder covers the Kepler constellations).
+    glo_nav = (parse_nav_glo(nav_path)
+               if "R" in opts.systems else {})
+
     # ---- pass 1: flatten (epoch, sat) records with ephemeris picks ----
     ep_idx, ephs, psr, dopp, snr, sats = [], [], [], [], [], []
     car, lli = [], []
     t_rx = []
+    gephs = []       # per-record GloEphemeris (None for Kepler rows)
     for k, ep in enumerate(obs.epochs):
         for j, sat in enumerate(ep.sats):
-            cand = nav.get(sat)
-            if not cand:
-                continue
-            e = select_eph(cand, ep.time)
-            if e is None or e.health != 0:
-                continue
+            geph = None
+            if sat[0] == "R":
+                geph = select_geph(glo_nav.get(sat, []), ep.time)
+                if geph is None:
+                    continue
+            else:
+                cand = nav.get(sat)
+                if not cand:
+                    continue
+                e = select_eph(cand, ep.time)
+                if e is None or e.health != 0:
+                    continue
+                ephs.append(e)
             ep_idx.append(k)
-            ephs.append(e)
+            gephs.append(geph)
             psr.append(ep.psr[j])
             dopp.append(ep.doppler[j])
             snr.append(ep.snr[j])
@@ -114,11 +128,24 @@ def convert(rover_obs_path: str, nav_path: str,
     t_rx = np.array(t_rx)
     sysid = np.array([SYS_CHAR[s[0]] for s in sats], np.int8)
     prn = np.array([int(s[1:]) for s in sats], np.int32)
+    is_glo = sysid == SYS_GLO
 
-    # ---- batch satellite states ----
-    P = stack_ephs(ephs)
-    pos, vel, clk, ddt = tx_state_batch(P, t_rx, psr)
-    tgd = P["tgd"] * CLIGHT
+    # ---- batch satellite states (Kepler batch + GLONASS integration) ----
+    n_rec = len(sats)
+    pos = np.zeros((n_rec, 3))
+    vel = np.zeros((n_rec, 3))
+    clk = np.zeros(n_rec)
+    ddt = np.zeros(n_rec)
+    tgd = np.zeros(n_rec)
+    kep = ~is_glo
+    if kep.any():
+        P = stack_ephs(ephs)
+        pos[kep], vel[kep], clk[kep], ddt[kep] = tx_state_batch(
+            P, t_rx[kep], psr[kep])
+        tgd[kep] = P["tgd"] * CLIGHT
+    for r in np.nonzero(is_glo)[0]:
+        pos[r], vel[r], clk[r], ddt[r] = glo_tx_state(
+            gephs[r], t_rx[r], psr[r])
 
     # ---- geometry + masks ----
     az, el = _azel_np(approx, pos)
@@ -130,7 +157,13 @@ def convert(rover_obs_path: str, nav_path: str,
     _, tow = C.unix2gpst(t_rx)
     tow = np.asarray(tow)
     iono = atmosphere.klobuchar(tow, rcv_llh[0], rcv_llh[1], az, el)
-    f_scale = np.where(sysid == SYS_BDS, (FREQ_L1 / FREQ_B1) ** 2, 1.0)
+    # Per-record carrier frequency: GLONASS is FDMA (f = 1602 MHz +
+    # k·562.5 kHz per channel k from the broadcast record).
+    freq = np.full(n_rec, FREQ_L1)
+    freq[sysid == SYS_BDS] = FREQ_B1
+    for r in np.nonzero(is_glo)[0]:
+        freq[r] = 1.602e9 + gephs[r].freq_num * 562.5e3
+    f_scale = (FREQ_L1 / freq) ** 2
     iono = iono * f_scale
     tropo = atmosphere.saastamoinen(rcv_llh[0], rcv_llh[2], el)
 
@@ -172,7 +205,7 @@ def convert(rover_obs_path: str, nav_path: str,
         sat_id=np.full((E, M), -1, np.int32),
     )
     slot_used = np.zeros(E, np.int32)
-    lam = np.array([LAMBDA[int(s)] for s in sysid])
+    lam = CLIGHT / freq
     psr_corr = psr + clk * CLIGHT - tgd - iono - tropo
 
     for r in range(len(ep_idx)):

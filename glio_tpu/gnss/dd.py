@@ -135,6 +135,11 @@ def bind_epochs_to_keyframes(gnss, kf_time, max_sv: int):
         gnss_whiten=np.zeros((T, 4, M, M)),
         gnss_ratio=np.full((T,), 0.5),
         gnss_valid=np.zeros((T,), bool),
+        gnss_sat_vel=np.zeros((T, M, 3)),
+        gnss_sat_ddt=np.zeros((T, M)),
+        gnss_dopp=np.zeros((T, M)),
+        gnss_dopp_valid=np.zeros((T, M), bool),
+        gnss_dopp_std=np.ones((T, M)),
     )
     if gnss is None:
         return out
@@ -162,4 +167,16 @@ def bind_epochs_to_keyframes(gnss, kf_time, max_sv: int):
             gnss.system[cand], gnss.master[cand], M)
         out["gnss_ratio"][k] = (kf_time[k] - te) / max(dt, 1e-9)
         out["gnss_valid"][k] = True
+        # Doppler channel for tcdopplerFactor rows. Sigma follows the
+        # reference: weight = Doppler2PSRWeight(0.1) · W_goGPS, residual
+        # divided by sqrt(1/weight_jj) = sqrt(10·var_elesnr)
+        # (Estimator.cpp:71,2288,2330).
+        out["gnss_sat_vel"][k] = gnss.sat_vel[cand]
+        out["gnss_sat_ddt"][k] = gnss.sat_ddt[cand]
+        out["gnss_dopp"][k] = gnss.dopp_rov[cand]
+        out["gnss_dopp_valid"][k] = gnss.valid[cand] & (
+            gnss.dopp_rov[cand] != 0.0)
+        var = np.array([_elesnr_var_np(float(e), float(s))
+                        for e, s in zip(gnss.elevation[cand], gnss.snr[cand])])
+        out["gnss_dopp_std"][k] = np.sqrt(10.0 * np.maximum(var, 1e-6))
     return out

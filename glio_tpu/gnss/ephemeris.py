@@ -150,6 +150,71 @@ def tx_time_sat_state(e: Ephemeris, t_rx_gps: float, psr: float):
     return sat_pos_vel_clock(e, t_tx)
 
 
+# --- GLONASS state-vector ephemeris ------------------------------------------
+
+MU_GLO = 3.9860044e14
+J2_GLO = 1.0826257e-3
+RE_GLO = 6378136.0
+OMGE_GLO = 7.292115e-5
+
+
+def _glo_deriv(x, acc):
+    """PZ-90 equations of motion: central body + J2 + earth rotation +
+    lunisolar acceleration from the broadcast record (GLONASS ICD 5.2;
+    same model RTKLIB's ``deq`` integrates)."""
+    p, v = x[:3], x[3:]
+    r2 = p @ p
+    r = np.sqrt(r2)
+    a = -MU_GLO / (r2 * r)
+    b = 1.5 * J2_GLO * MU_GLO * RE_GLO ** 2 / (r2 * r2 * r)
+    z2r2 = 5.0 * p[2] ** 2 / r2
+    om2 = OMGE_GLO ** 2
+    # The J2 oblateness term SUBTRACTS from the central attraction in the
+    # xy plane and carries an extra −2b·z on the pole axis (ICD:
+    # ẍ = (−μ/r³ − b(1−5z²/r²))x + ω²x + 2ωẏ + ax, etc.).
+    dv = np.array([
+        (a - b * (1.0 - z2r2)) * p[0] + om2 * p[0]
+        + 2.0 * OMGE_GLO * v[1] + acc[0],
+        (a - b * (1.0 - z2r2)) * p[1] + om2 * p[1]
+        - 2.0 * OMGE_GLO * v[0] + acc[1],
+        (a - b * (3.0 - z2r2)) * p[2] + acc[2],
+    ])
+    return np.concatenate([v, dv])
+
+
+def glo_pos_vel(geph, t_gps: float, step: float = 60.0):
+    """Integrate the GLONASS state vector to t (RK4, ≤60 s steps)."""
+    t = t_gps - geph.toe
+    x = np.concatenate([geph.pos, geph.vel])
+    sgn = 1.0 if t >= 0 else -1.0
+    remaining = abs(t)
+    while remaining > 1e-9:
+        h = sgn * min(step, remaining)
+        k1 = _glo_deriv(x, geph.acc)
+        k2 = _glo_deriv(x + k1 * h / 2, geph.acc)
+        k3 = _glo_deriv(x + k2 * h / 2, geph.acc)
+        k4 = _glo_deriv(x + k3 * h, geph.acc)
+        x = x + (k1 + 2 * k2 + 2 * k3 + k4) * h / 6.0
+        remaining -= abs(h)
+    return x[:3], x[3:]
+
+
+def glo_clock(geph, t_gps: float) -> float:
+    """SV clock bias (s): −τ_n + γ_n·(t − toe) (GLONASS ICD)."""
+    dt = t_gps - geph.toe
+    return -geph.tau_n + geph.gamma_n * dt
+
+
+def glo_tx_state(geph, t_rx_gps: float, psr: float):
+    """Transmission-time state for a GLONASS satellite
+    (pos, vel, clk, ddt) — the GLONASS twin of ``tx_time_sat_state``."""
+    t_tx = t_rx_gps - psr / CLIGHT
+    for _ in range(2):
+        t_tx = t_rx_gps - psr / CLIGHT - glo_clock(geph, t_tx)
+    pos, vel = glo_pos_vel(geph, t_tx)
+    return pos, vel, glo_clock(geph, t_tx), geph.gamma_n
+
+
 # --- Vectorized batch evaluation (converter hot path) ------------------------
 
 _EPH_FIELDS = ("sys", "prn", "week", "toe", "toc", "toes", "af0", "af1",

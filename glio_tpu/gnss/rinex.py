@@ -74,6 +74,29 @@ class Ephemeris:
 
 
 @dataclass
+class GloEphemeris:
+    """GLONASS broadcast record: PZ-90 state vector + clock model.
+
+    RINEX 3 'R' records carry position/velocity/acceleration (km) at the
+    reference epoch plus −τ_n / γ_n; evaluation integrates the ICD motion
+    model (RTKLIB ``geph2pos``/``deq``, ephemeris.c — behavior reference
+    only)."""
+    prn: int
+    toe: float          # GPS unix seconds of the reference epoch
+    tau_n: float        # −SV clock bias (s): dts = −τ_n + γ_n·(t−toe)
+    gamma_n: float      # relative frequency bias
+    pos: np.ndarray     # (3,) m, PZ-90 ECEF
+    vel: np.ndarray     # (3,) m/s
+    acc: np.ndarray     # (3,) m/s² (lunisolar perturbation)
+    health: float = 0.0
+    freq_num: int = 0   # FDMA channel k: f1 = 1602 MHz + k·562.5 kHz
+    sys: int = SYS_GLO
+
+
+GPS_UTC_LEAP_2021 = 18.0   # GPS − UTC leap seconds (2017-01-01 onward)
+
+
+@dataclass
 class ObsEpoch:
     time: float                        # GPS seconds (unix-referenced)
     sats: List[str]                    # e.g. "G14", "C11"
@@ -187,12 +210,13 @@ BDS_WEEK_OFFSET = 1356
 BDS_TIME_OFFSET = 14.0
 
 
-def parse_nav(path: str) -> Dict[str, List[Ephemeris]]:
+def parse_nav(path: str, glo: Optional[Dict[str, List[GloEphemeris]]] = None
+              ) -> Dict[str, List[Ephemeris]]:
     """Parse a RINEX 3 navigation file → {sat: [Ephemeris sorted by toe]}.
 
-    GPS/GAL/BDS Kepler records; GLONASS records (state-vector format) are
-    skipped — the UrbanNav processing is GPS+BDS L1 (launch config uses
-    mode DGPS with the u-blox GC files).
+    GPS/GAL/BDS Kepler records. GLONASS state-vector records are decoded
+    into `glo` when a dict is passed (``parse_nav_glo`` wraps this); with
+    glo=None they are skipped (the UrbanNav launch runs GPS+BDS L1).
     """
     out: Dict[str, List[Ephemeris]] = {}
     with open(path) as fh:
@@ -209,8 +233,36 @@ def parse_nav(path: str) -> Dict[str, List[Ephemeris]]:
         line = lines[i]
         sat = line[0:3].replace(" ", "0")
         sys_c = sat[0]
-        if sys_c == "R":           # GLONASS: 4-line records, skip
+        if sys_c == "R":           # GLONASS: 4-line state-vector records
+            if glo is None:
+                i += 4
+                continue
+            try:
+                y = int(line[4:8]); mo = int(line[9:11]); dd = int(line[12:14])
+                hh = int(line[15:17]); mi = int(line[18:20]); ss = int(line[21:23])
+            except ValueError:
+                i += 1
+                continue
+            vals = [fnum(line[23 + 19 * k: 23 + 19 * (k + 1)])
+                    for k in range(3)]
+            rows = []
+            for k in range(3):
+                l2 = lines[i + 1 + k]
+                rows.append([fnum(l2[4 + 19 * j: 4 + 19 * (j + 1)])
+                             for j in range(4)])
             i += 4
+            # Epoch is UTC; GLONASS clock applies at UTC(SU) — convert the
+            # record epoch to the GPS timescale used throughout.
+            week, tow = civil2gps(y, mo, dd, hh, mi, ss)
+            toe = 315964800.0 + week * 604800.0 + tow + GPS_UTC_LEAP_2021
+            geph = GloEphemeris(
+                prn=int(sat[1:3]), toe=toe,
+                tau_n=-vals[0], gamma_n=vals[1],
+                pos=np.array([rows[0][0], rows[1][0], rows[2][0]]) * 1e3,
+                vel=np.array([rows[0][1], rows[1][1], rows[2][1]]) * 1e3,
+                acc=np.array([rows[0][2], rows[1][2], rows[2][2]]) * 1e3,
+                health=rows[0][3], freq_num=int(rows[1][3]))
+            glo.setdefault(sat, []).append(geph)
             continue
         if sys_c not in ("G", "C", "E"):
             i += 1
@@ -265,6 +317,28 @@ def parse_nav(path: str) -> Dict[str, List[Ephemeris]]:
     for sat in out:
         out[sat].sort(key=lambda e: e.week * 604800.0 + e.toe)
     return out
+
+
+def parse_nav_glo(path: str) -> Dict[str, List[GloEphemeris]]:
+    """GLONASS records of a RINEX 3 nav file → {sat: [GloEphemeris]}."""
+    glo: Dict[str, List[GloEphemeris]] = {}
+    parse_nav(path, glo=glo)
+    for sat in glo:
+        glo[sat].sort(key=lambda e: e.toe)
+    return glo
+
+
+def select_geph(gephs: List[GloEphemeris], t_gps: float,
+                max_age: float = 1800.0) -> Optional[GloEphemeris]:
+    """Nearest healthy GLONASS record within the 30-min fit interval."""
+    best, best_dt = None, np.inf
+    for e in gephs:
+        if e.health != 0:
+            continue
+        dt = abs(t_gps - e.toe)
+        if dt < best_dt:
+            best, best_dt = e, dt
+    return best if best is not None and best_dt <= max_age else None
 
 
 def select_eph(ephs: List[Ephemeris], t_gps: float) -> Optional[Ephemeris]:

@@ -112,6 +112,10 @@ class FloatFilterOut(NamedTuple):
     ok: jnp.ndarray       # (E,) enough DDs + finite
     n_dd: jnp.ndarray     # (E,) code DD count
     n_car: jnp.ndarray    # (E,) carrier DD count
+    amb_cov: jnp.ndarray  # (E, M, M) full SD-ambiguity covariance
+    pa_cov: jnp.ndarray   # (E, 3, M) position × ambiguity cross-covariance
+                          # (both feed LAMBDA integer resolution + the
+                          # conditional fixed-position update, lambda_ar.py)
 
 
 def arc_tracking(gnss, max_gap: float = 2.5, dopp_jump: float = 5.0):
@@ -326,7 +330,8 @@ def float_filter(sat_pos, sat_vel, sat_ddt, psr_rov, psr_sta, car_rov,
         out = FloatFilterOut(
             pos=x[:3], vel=x[3:6], pos_cov=P[:3, :3],
             amb=x[6:], amb_var=jnp.diag(P)[6:],
-            ok=ok, n_dd=n_dd, n_car=n_car)
+            ok=ok, n_dd=n_dd, n_car=n_car,
+            amb_cov=P[6:, 6:], pa_cov=P[:3, 6:])
         return (x, P, t_k, started | True), out
 
     x0f = jnp.zeros(N, F64).at[:3].set(jnp.asarray(x0, F64))

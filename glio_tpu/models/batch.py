@@ -787,15 +787,78 @@ def _sms1_residuals(p, q, sms: Sms1Data):
     return jnp.stack([one(r) for r in range(R)], axis=1)
 
 
+def _assemble_sms1_pose(p, q, prob: BatchProblem, sms: Sms1Data,
+                        threshold, hw: int):
+    """6-dof band + gradient for attitude + binary-plane + DD rows.
+
+    Shared by the pose-only level-1 solver and the 15-dof level-1-with-IMU
+    solver (where it lands in the pose corner of each 15×15 block)."""
+    band = jnp.zeros((p.shape[0], 2 * hw + 1, POSE_DOF, POSE_DOF), F64)
+    grad = jnp.zeros((p.shape[0], POSE_DOF), F64)
+    zero = jnp.zeros(POSE_DOF, F64)
+    T = p.shape[0]
+    R = prob.rel_valid.shape[1]
+
+    # Attitude + binary plane rows per (i, i+r) pair.
+    for r in range(R):
+        roll = r + 1
+        pj = jnp.roll(p, -roll, axis=0)
+        qj = jnp.roll(q, -roll, axis=0)
+
+        def res_fn(di, dj, pi, qi, pjv, qjv, dqm, m_att,
+                   pts, nrm, cen, sc, msk):
+            qi2 = quat.mul(qi, quat.exp(di[3:6]))
+            qj2 = quat.mul(qjv, quat.exp(dj[3:6]))
+            pi2 = pi + di[:3]
+            pj2 = pjv + dj[:3]
+            r_att = W_ATT * quat.mul(
+                quat.conj(dqm), quat.mul(quat.conj(qi2), qj2))[1:]
+            r_att = jnp.where(m_att, r_att, 0.0)
+            from ..factors.lidar import binary_plane_residual
+            r_pl = binary_plane_residual(
+                pts, nrm, cen, sc, pi2, qi2, pj2, qj2, msk)
+            return jnp.concatenate([r_att, r_pl])
+
+        res, (Ji, Jj) = jax.vmap(
+            lambda *a: (res_fn(zero, zero, *a),
+                        jax.jacfwd(res_fn, argnums=(0, 1))(
+                            zero, zero, *a)))(
+            p, q, pj, qj, prob.rel_dq[:, r], prob.rel_valid[:, r],
+            sms.pts_i[:, r], sms.normal_j[:, r], sms.cent_j[:, r],
+            sms.score[:, r], sms.mask[:, r])
+        i_idx = jnp.arange(T, dtype=jnp.int32)
+        j_idx = jnp.minimum(i_idx + roll, T - 1)
+        Hij = jnp.einsum("nri,nrj->nij", Ji, Jj)
+        band = banded.scatter_add_blocks(
+            band, i_idx, i_idx,
+            jnp.einsum("nri,nrj->nij", Ji, Ji), hw)
+        band = banded.scatter_add_blocks(band, i_idx, j_idx, Hij, hw)
+        band = banded.scatter_add_blocks(
+            band, j_idx, i_idx, jnp.swapaxes(Hij, -1, -2), hw)
+        band = banded.scatter_add_blocks(
+            band, j_idx, j_idx,
+            jnp.einsum("nri,nrj->nij", Jj, Jj), hw)
+        grad = grad.at[i_idx].add(jnp.einsum("nri,nr->ni", Ji, res))
+        grad = grad.at[j_idx].add(jnp.einsum("nri,nr->ni", Jj, res))
+
+    # DD rows (reuse level-0 assembly pieces via _assemble on a
+    # relatives-free problem).
+    band_dd, grad_dd = _assemble(
+        p, q, prob._replace(rel_valid=jnp.zeros_like(prob.rel_valid)),
+        threshold, hw)
+    return band + band_dd, grad + grad_dd
+
+
 def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
                         thresholds=(1e9, 10.0, 8.0, 6.0), lm_iters=6,
                         solver: str = "direct"):
-    """Batch solve with level-1 scan-to-multiscan constraints.
+    """Batch solve with level-1 scan-to-multiscan constraints (pose-only).
 
     Replaces the level-0 relative-pose rows with binary plane factors
     (the relative-attitude factors remain, as in the reference's level-1
-    branch, Estimator.cpp:2990-3077). The reference additionally chains
-    ImuFactors there; the 15-dof batch state is tracked as a known gap.
+    branch, Estimator.cpp:2990-3077). For the reference's full level-1 —
+    which also chains ImuFactors over 15-dof states — see
+    ``optimize_batch_sms1_imu``.
     """
     hw = cfg.estimator.search_range + 1
 
@@ -810,62 +873,7 @@ def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
 
         def step(carry, _):
             p, q, lam, cost = carry
-            band = jnp.zeros((p.shape[0], 2 * hw + 1, POSE_DOF, POSE_DOF), F64)
-            grad = jnp.zeros((p.shape[0], POSE_DOF), F64)
-            zero = jnp.zeros(POSE_DOF, F64)
-            T = p.shape[0]
-            R = prob.rel_valid.shape[1]
-
-            # Attitude + binary plane rows per (i, i+r) pair.
-            for r in range(R):
-                roll = r + 1
-                pj = jnp.roll(p, -roll, axis=0)
-                qj = jnp.roll(q, -roll, axis=0)
-
-                def res_fn(di, dj, pi, qi, pjv, qjv, dqm, m_att,
-                           pts, nrm, cen, sc, msk):
-                    qi2 = quat.mul(qi, quat.exp(di[3:6]))
-                    qj2 = quat.mul(qjv, quat.exp(dj[3:6]))
-                    pi2 = pi + di[:3]
-                    pj2 = pjv + dj[:3]
-                    r_att = W_ATT * quat.mul(
-                        quat.conj(dqm), quat.mul(quat.conj(qi2), qj2))[1:]
-                    r_att = jnp.where(m_att, r_att, 0.0)
-                    from ..factors.lidar import binary_plane_residual
-                    r_pl = binary_plane_residual(
-                        pts, nrm, cen, sc, pi2, qi2, pj2, qj2, msk)
-                    return jnp.concatenate([r_att, r_pl])
-
-                res, (Ji, Jj) = jax.vmap(
-                    lambda *a: (res_fn(zero, zero, *a),
-                                jax.jacfwd(res_fn, argnums=(0, 1))(
-                                    zero, zero, *a)))(
-                    p, q, pj, qj, prob.rel_dq[:, r], prob.rel_valid[:, r],
-                    sms.pts_i[:, r], sms.normal_j[:, r], sms.cent_j[:, r],
-                    sms.score[:, r], sms.mask[:, r])
-                i_idx = jnp.arange(T, dtype=jnp.int32)
-                j_idx = jnp.minimum(i_idx + roll, T - 1)
-                Hij = jnp.einsum("nri,nrj->nij", Ji, Jj)
-                band = banded.scatter_add_blocks(
-                    band, i_idx, i_idx,
-                    jnp.einsum("nri,nrj->nij", Ji, Ji), hw)
-                band = banded.scatter_add_blocks(band, i_idx, j_idx, Hij, hw)
-                band = banded.scatter_add_blocks(
-                    band, j_idx, i_idx, jnp.swapaxes(Hij, -1, -2), hw)
-                band = banded.scatter_add_blocks(
-                    band, j_idx, j_idx,
-                    jnp.einsum("nri,nrj->nij", Jj, Jj), hw)
-                grad = grad.at[i_idx].add(jnp.einsum("nri,nr->ni", Ji, res))
-                grad = grad.at[j_idx].add(jnp.einsum("nri,nr->ni", Jj, res))
-
-            # DD rows (reuse level-0 assembly pieces via _assemble on a
-            # relatives-free problem).
-            band_dd, grad_dd = _assemble(
-                p, q, prob._replace(rel_valid=jnp.zeros_like(prob.rel_valid)),
-                threshold, hw)
-            band = band + band_dd
-            grad = grad + grad_dd
-
+            band, grad = _assemble_sms1_pose(p, q, prob, sms, threshold, hw)
             diag = band[:, hw]
             damped = diag + lam * (
                 jnp.eye(POSE_DOF, dtype=F64) * jnp.maximum(
@@ -898,6 +906,213 @@ def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
         p, q, cost = solve_once(p, q, jnp.asarray(th, F64))
         costs.append(float(cost))
     return p, q, costs
+
+
+# --- Level 1 with IMU chains: full 15-dof batch states ------------------------
+
+STATE15 = 15  # δp, δθ, δv, δba, δbg per keyframe (batch level-1 state)
+
+
+class ImuChainData(NamedTuple):
+    """Preintegrated IMU edges i → i+1 for the batch level-1 chains
+    (``ImuFactor`` rows at Estimator.cpp:2992-3001; edge k uses
+    ``pre_integrations[k+1]`` — the interval ending at keyframe k+1)."""
+    pres: object              # Preintegrated, leading dim (T-1,)
+    sqrt_info: jnp.ndarray    # (T-1, 15, 15)
+    valid: jnp.ndarray        # (T-1,) bool
+
+
+def build_imu_chain(cfg: GlioConfig, imu_acc, imu_gyr, imu_dt, imu_valid,
+                    imu_seed=None, ba0=None, bg0=None) -> ImuChainData:
+    """Preintegrate every keyframe interval (vmapped) at a fixed bias
+    linearization — matching the reference, whose batch reuses the
+    sliding-window-time ``pre_integrations`` objects (first-order bias
+    correction inside the factor handles the batch's bias updates).
+
+    Args are the Episode per-interval buffers (T, NI, ...); interval 0
+    (before the first keyframe) is skipped — edge k couples (k, k+1) using
+    interval k+1's run.
+    """
+    from ..factors import imu as imu_factors
+    params = imu_factors.ImuParams(
+        cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w,
+        cfg.imu.gravity)
+    T = imu_acc.shape[0]
+    acc = jnp.asarray(imu_acc, F64)[1:]
+    gyr = jnp.asarray(imu_gyr, F64)[1:]
+    dt = jnp.asarray(imu_dt, F64)[1:]
+    val = jnp.asarray(imu_valid)[1:]
+    if imu_seed is None:
+        # Seed each interval's midpoint pair with its own first sample
+        # (the reference seeds with the sample AT the previous keyframe;
+        # at 100 Hz the difference is one sub-sample of lever).
+        seed_a = acc[:, 0]
+        seed_g = gyr[:, 0]
+    else:
+        seed_a = jnp.asarray(imu_seed, F64)[1:, :3]
+        seed_g = jnp.asarray(imu_seed, F64)[1:, 3:]
+    ba0 = jnp.zeros(3, F64) if ba0 is None else jnp.asarray(ba0, F64)
+    bg0 = jnp.zeros(3, F64) if bg0 is None else jnp.asarray(bg0, F64)
+
+    def pre_one(a, g, d, v, sa, sg):
+        return imu_factors.preintegrate(a, g, d, v, ba0, bg0, sa, sg,
+                                        params=params)
+
+    pres = jax.vmap(pre_one)(acc, gyr, dt, val, seed_a, seed_g)
+    S = jax.vmap(imu_factors.sqrt_info)(pres)
+    edge_valid = jnp.any(val, axis=1)
+    return ImuChainData(pres=pres, sqrt_info=S, valid=edge_valid)
+
+
+def _retract15(p, q, v, ba, bg, dx):
+    d = dx.reshape(p.shape[0], STATE15)
+    return (p + d[:, 0:3],
+            quat.normalize(quat.mul(q, quat.exp(d[:, 3:6]))),
+            v + d[:, 6:9], ba + d[:, 9:12], bg + d[:, 12:15])
+
+
+def _imu_chain_residuals(p, q, v, ba, bg, chain: ImuChainData, gravity):
+    """(T-1, 15) whitened IMU edge residuals."""
+    from ..factors import imu as imu_factors
+
+    def one(S, pre, valid, pi, qi, vi, bai, bgi, pj, qj, vj, baj, bgj):
+        r = imu_factors.whitened_residual_cached(
+            S, pre, pi, qi, vi, bai, bgi, pj, qj, vj, baj, bgj,
+            gravity=gravity)
+        return jnp.where(valid, r, 0.0)
+
+    return jax.vmap(one)(chain.sqrt_info, chain.pres, chain.valid,
+                         p[:-1], q[:-1], v[:-1], ba[:-1], bg[:-1],
+                         p[1:], q[1:], v[1:], ba[1:], bg[1:])
+
+
+def optimize_batch_sms1_imu(cfg: GlioConfig, prob: BatchProblem,
+                            sms: Sms1Data, chain: ImuChainData,
+                            v0=None, ba0=None, bg0=None,
+                            thresholds=(1e9, 10.0, 8.0, 6.0), lm_iters=6,
+                            solver: str = "direct"):
+    """Full reference level-1 batch: ImuFactor chains + binary plane +
+    relative-attitude + DD pseudorange over 15-dof keyframe states
+    (Estimator.cpp:2990-3077: ``gl_tmpSpeedBias`` join the problem).
+
+    TPU-first: one block-banded system with 15×15 blocks — the pose
+    factors land in the [0:6, 0:6] corner of each block, the IMU edges
+    fill the full blocks of the first off-diagonal. Bias random-walk
+    whitening comes from the preintegration covariance, so speed/bias
+    states stay observable through the chain exactly as in the reference.
+
+    Returns (p, q, v, ba, bg, costs).
+    """
+    from ..factors import imu as imu_factors
+    hw = cfg.estimator.search_range + 1
+    T = prob.p_odo.shape[0]
+    gravity = imu_factors.ImuParams(
+        cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w,
+        cfg.imu.gravity).gravity_vec()
+
+    @partial(jax.jit, static_argnames=())
+    def solve_once(p0, q0, vv0, bba0, bbg0, threshold):
+        def cost_fn(p, q, v, ba, bg):
+            r_att = _rel_residuals(p, q, prob)[..., :3]
+            r_sms = _sms1_residuals(p, q, sms)
+            r_dd = _dd_residuals(p, prob, threshold)
+            r_imu = _imu_chain_residuals(p, q, v, ba, bg, chain, gravity)
+            return 0.5 * (jnp.sum(r_att ** 2) + jnp.sum(r_sms ** 2)
+                          + jnp.sum(r_dd ** 2) + jnp.sum(r_imu ** 2))
+
+        def step(carry, _):
+            p, q, v, ba, bg, lam, cost = carry
+            # Pose rows → 6-dof band, embedded in the 15-block corner.
+            band6, grad6 = _assemble_sms1_pose(p, q, prob, sms, threshold,
+                                               hw)
+            band = jnp.zeros((T, 2 * hw + 1, STATE15, STATE15), F64)
+            band = band.at[:, :, :POSE_DOF, :POSE_DOF].set(band6)
+            grad = jnp.zeros((T, STATE15), F64)
+            grad = grad.at[:, :POSE_DOF].set(grad6)
+
+            # IMU edges (i, i+1): full 15×15 coupling via per-edge jacfwd.
+            zero15 = jnp.zeros(STATE15, F64)
+
+            def imu_fn(di, dj, S, pre, valid, pi, qi, vi, bai, bgi,
+                       pj, qj, vj, baj, bgj):
+                pi2, qi2, vi2, bai2, bgi2 = (
+                    pi + di[0:3], quat.mul(qi, quat.exp(di[3:6])),
+                    vi + di[6:9], bai + di[9:12], bgi + di[12:15])
+                pj2, qj2, vj2, baj2, bgj2 = (
+                    pj + dj[0:3], quat.mul(qj, quat.exp(dj[3:6])),
+                    vj + dj[6:9], baj + dj[9:12], bgj + dj[12:15])
+                r = imu_factors.whitened_residual_cached(
+                    S, pre, pi2, qi2, vi2, bai2, bgi2,
+                    pj2, qj2, vj2, baj2, bgj2, gravity=gravity)
+                return jnp.where(valid, r, 0.0)
+
+            res, (Ji, Jj) = jax.vmap(
+                lambda *a: (imu_fn(zero15, zero15, *a),
+                            jax.jacfwd(imu_fn, argnums=(0, 1))(
+                                zero15, zero15, *a)))(
+                chain.sqrt_info, chain.pres, chain.valid,
+                p[:-1], q[:-1], v[:-1], ba[:-1], bg[:-1],
+                p[1:], q[1:], v[1:], ba[1:], bg[1:])
+            i_idx = jnp.arange(T - 1, dtype=jnp.int32)
+            j_idx = i_idx + 1
+            Hij = jnp.einsum("nri,nrj->nij", Ji, Jj)
+            band = banded.scatter_add_blocks(
+                band, i_idx, i_idx, jnp.einsum("nri,nrj->nij", Ji, Ji), hw)
+            band = banded.scatter_add_blocks(band, i_idx, j_idx, Hij, hw)
+            band = banded.scatter_add_blocks(
+                band, j_idx, i_idx, jnp.swapaxes(Hij, -1, -2), hw)
+            band = banded.scatter_add_blocks(
+                band, j_idx, j_idx, jnp.einsum("nri,nrj->nij", Jj, Jj), hw)
+            grad = grad.at[i_idx].add(jnp.einsum("nri,nr->ni", Ji, res))
+            grad = grad.at[j_idx].add(jnp.einsum("nri,nr->ni", Jj, res))
+
+            diag = band[:, hw]
+            damped = diag + lam * (
+                jnp.eye(STATE15, dtype=F64) * jnp.maximum(
+                    jnp.diagonal(diag, axis1=-2, axis2=-1),
+                    1.0)[..., None, :] * jnp.eye(STATE15, dtype=F64))
+            band2 = band.at[:, hw].set(damped)
+            if solver == "direct":
+                dx = banded.direct_solve(band2, -grad)
+            else:
+                dx, _ = banded.pcg_solve(band2, -grad, iters=200)
+            p_new, q_new, v_new, ba_new, bg_new = _retract15(
+                p, q, v, ba, bg, dx.reshape(-1))
+            new_cost = cost_fn(p_new, q_new, v_new, ba_new, bg_new)
+            better = new_cost < cost
+            p = jnp.where(better, p_new, p)
+            q = jnp.where(better, q_new, q)
+            v = jnp.where(better, v_new, v)
+            ba = jnp.where(better, ba_new, ba)
+            bg = jnp.where(better, bg_new, bg)
+            cost = jnp.where(better, new_cost, cost)
+            lam = jnp.clip(jnp.where(better, lam * 0.3, lam * 5.0),
+                           1e-9, 1e6)
+            return (p, q, v, ba, bg, lam, cost), None
+
+        cost0 = cost_fn(p0, q0, vv0, bba0, bbg0)
+        (p, q, v, ba, bg, _, cost), _ = jax.lax.scan(
+            step, (p0, q0, vv0, bba0, bbg0, jnp.asarray(1e-4, F64), cost0),
+            None, length=lm_iters)
+        return p, q, v, ba, bg, cost
+
+    p, q = prob.p_odo, prob.q_odo
+    # Velocity init: central differences of the odometry (like the
+    # reference's speedBias states carried from the sliding window).
+    if v0 is None:
+        dtm = jnp.maximum(prob.kf_dt, 1e-3)
+        v0 = jnp.gradient(p, axis=0) / dtm
+    v = jnp.asarray(v0, F64)
+    ba = (jnp.zeros((T, 3), F64) if ba0 is None
+          else jnp.broadcast_to(jnp.asarray(ba0, F64), (T, 3)))
+    bg = (jnp.zeros((T, 3), F64) if bg0 is None
+          else jnp.broadcast_to(jnp.asarray(bg0, F64), (T, 3)))
+    costs = []
+    for th in thresholds:
+        p, q, v, ba, bg, cost = solve_once(p, q, v, ba, bg,
+                                           jnp.asarray(th, F64))
+        costs.append(float(cost))
+    return p, q, v, ba, bg, costs
 
 
 # --- Doppler rows (optional; reference ships them compiled out) --------------

@@ -83,12 +83,24 @@ def build_problem(p_odo, q_odo, gnss_p, gnss_valid, gnss_sigma,
         p0=jnp.asarray(p_odo[0]), q0=jnp.asarray(q_odo[0]))
 
 
-def _residual_cost(p, q, prob: LcProblem):
+def _gnss_irls(p, prob: LcProblem, huber: float):
+    """Sqrt-Huber IRLS weights on the whitened GNSS fix norms (frozen per
+    linearization). Guards the chain against gross fixes that passed the
+    covariance gate — the role of the reference's iSAM marginal checks."""
+    if huber <= 0.0:
+        return jnp.ones(p.shape[0], F64)
+    nrm = prob.w_gnss * jnp.linalg.norm(p - prob.gnss_p, axis=-1)
+    w = jnp.sqrt(jnp.minimum(1.0, huber / jnp.maximum(nrm, 1e-9)))
+    return jax.lax.stop_gradient(jnp.where(prob.gnss_valid, w, 1.0))
+
+
+def _residual_cost(p, q, prob: LcProblem, w_irls=None):
     r_rel_q = prob.w_rel_q * 2.0 * quat.mul(
         quat.conj(prob.rel_dq), quat.mul(quat.conj(q[:-1]), q[1:]))[:, 1:]
     r_rel_p = prob.w_rel_p * (
         quat.rotate(quat.conj(q[:-1]), p[1:] - p[:-1]) - prob.rel_dp)
-    r_g = prob.w_gnss[:, None] * jnp.where(
+    wg = prob.w_gnss if w_irls is None else prob.w_gnss * w_irls
+    r_g = wg[:, None] * jnp.where(
         prob.gnss_valid[:, None], p - prob.gnss_p, 0.0)
     r_prior = 1e3 * jnp.concatenate([
         p[0] - prob.p0,
@@ -97,7 +109,7 @@ def _residual_cost(p, q, prob: LcProblem):
                   + jnp.sum(r_g ** 2) + jnp.sum(r_prior ** 2))
 
 
-def _assemble(p, q, prob: LcProblem):
+def _assemble(p, q, prob: LcProblem, w_irls=None):
     """Band (hw=1) + gradient via per-edge autodiff."""
     T = p.shape[0]
     hw = 1
@@ -136,6 +148,8 @@ def _assemble(p, q, prob: LcProblem):
 
     # GNSS unary factors (position only).
     w = jnp.where(prob.gnss_valid, prob.w_gnss, 0.0)
+    if w_irls is not None:
+        w = w * w_irls
     rg = w[:, None] * (p - prob.gnss_p)
     Hg = (w ** 2)[:, None, None] * jnp.eye(3, dtype=F64)
     band = band.at[:, hw, :3, :3].add(Hg)
@@ -148,12 +162,14 @@ def _assemble(p, q, prob: LcProblem):
     return band, grad
 
 
-@partial(jax.jit, static_argnames=("gn_iters", "pcg_iters"))
+@partial(jax.jit, static_argnames=("gn_iters", "pcg_iters", "gnss_huber"))
 def solve(prob: LcProblem, p0, q0, gn_iters: int = 8,
-          pcg_iters: int = 250):
+          pcg_iters: int = 250, gnss_huber: float = 0.0):
     def step(carry, _):
         p, q, lam, cost = carry
-        band, grad = _assemble(p, q, prob)
+        w_irls = (_gnss_irls(p, prob, gnss_huber)
+                  if gnss_huber > 0.0 else None)
+        band, grad = _assemble(p, q, prob, w_irls)
         diag = band[:, 1]
         band2 = band.at[:, 1].add(
             lam * jnp.eye(DOF, dtype=F64)
@@ -163,11 +179,12 @@ def solve(prob: LcProblem, p0, q0, gn_iters: int = 8,
         d = dx.reshape(-1, DOF)
         p_new = p + d[:, :3]
         q_new = quat.normalize(quat.mul(q, quat.exp(d[:, 3:6])))
-        new_cost = _residual_cost(p_new, q_new, prob)
-        better = new_cost < cost
+        new_cost = _residual_cost(p_new, q_new, prob, w_irls)
+        cost_cur = _residual_cost(p, q, prob, w_irls)
+        better = new_cost < cost_cur
         p = jnp.where(better, p_new, p)
         q = jnp.where(better, q_new, q)
-        cost = jnp.where(better, new_cost, cost)
+        cost = jnp.where(better, new_cost, cost_cur)
         lam = jnp.clip(jnp.where(better, lam * 0.3, lam * 5.0), 1e-9, 1e6)
         return (p, q, lam, cost), cost
 

@@ -60,7 +60,11 @@ class GnssKfData(NamedTuple):
 
     Feeds the optional GNSS-in-window factors (the reference carries the
     same data into ``optimizeSlidingWindowWithLandMark`` but compiles the
-    factors out — ``#if 0`` Estimator.cpp:2255)."""
+    factors out — ``#if 0`` Estimator.cpp:2255-2421).  The Doppler channel
+    (sat_vel/sat_ddt/dopp) feeds ``tcdopplerFactor`` rows
+    (dopp_factor.hpp:19-85); ``dopp_std`` is the reference's per-satellite
+    sigma sqrt(1/(Doppler2PSRWeight · W_jj)) with Doppler2PSRWeight=0.1
+    (Estimator.cpp:71,2288)."""
     sat_pos: jnp.ndarray     # (M, 3)
     psr_rov: jnp.ndarray     # (M,)
     psr_sta: jnp.ndarray     # (M,)
@@ -70,6 +74,30 @@ class GnssKfData(NamedTuple):
     whiten: jnp.ndarray      # (4, M, M)
     ratio: jnp.ndarray       # () interpolation toward the older keyframe
     valid: jnp.ndarray       # () bool
+    sat_vel: jnp.ndarray     # (M, 3) ECEF satellite velocity
+    sat_ddt: jnp.ndarray     # (M,) satellite clock drift (m/s)
+    dopp: jnp.ndarray        # (M,) measured range-rate (m/s)
+    dopp_valid: jnp.ndarray  # (M,) bool
+    dopp_std: jnp.ndarray    # (M,) per-satellite Doppler sigma (m/s)
+
+
+class WindowStateDdt(NamedTuple):
+    """Window state + per-slot receiver clock drift — the optimization
+    state of the GNSS-in-window path.
+
+    The reference allocates a global ``para_rcv_ddt[EPOCH_SIZE]`` array and
+    lets each window solve touch the epochs inside it
+    (Estimator.cpp:2100-2148); here slot k carries the ddt of the epoch
+    bound to interval (k-1, k], sliding with the window."""
+    win: WindowState
+    ddt: jnp.ndarray   # (K,) receiver clock drift per bound epoch (m/s)
+
+
+def retract_ddt(state: WindowStateDdt, delta) -> WindowStateDdt:
+    """Tangent update for the extended state: [K*15 pose dofs | K ddt]."""
+    n = state.win.p.shape[0] * POSE_DOF
+    return WindowStateDdt(retract(state.win, delta[:n]),
+                          state.ddt + delta[n:])
 
 
 class KeyframeInput(NamedTuple):
@@ -111,6 +139,7 @@ class StepOutput(NamedTuple):
     bg: jnp.ndarray
     cost: jnp.ndarray
     n_lidar_factors: jnp.ndarray
+    ddt: jnp.ndarray   # receiver clock drift of the newest bound epoch (m/s)
 
 
 def init_carry(cfg: GlioConfig, p0, q0, v0) -> SlidingWindowCarry:
@@ -219,7 +248,7 @@ def _associate(cfg: GlioConfig, window: WindowState, window_scans,
 def _window_residual(cfg: GlioConfig, state: WindowState, pres, imu_sqrt_info,
                      imu_edge_valid, lidar_meas, prior_sqrt_jac,
                      prior_sqrt_res, prior_valid, prior_lin, gravity,
-                     gnss_win: "GnssKfData" = None):
+                     gnss_win: "GnssKfData" = None, ddt=None):
     """All window residuals, concatenated (fixed shape)."""
     est = cfg.estimator
     K = state.p.shape[0]
@@ -290,6 +319,34 @@ def _window_residual(cfg: GlioConfig, state: WindowState, pres, imu_sqrt_info,
         p_older = jnp.concatenate([state.p[:1], state.p[:-1]])
         r_dd = jax.vmap(dd_k)(gnss_win, p_older, state.p, pair_ok)
         parts.append(r_dd.reshape(-1))
+
+        # Doppler rows (tcdopplerFactor, dopp_factor.hpp:19-85): interpolated
+        # position AND velocity of the bounding keyframes, per-slot receiver
+        # clock drift, HuberLoss(1.0) like the reference.
+        if ddt is not None:
+            v_older = jnp.concatenate([state.v[:1], state.v[:-1]])
+
+            def dopp_k(g, p_o, v_o, p_n, v_n, ddt_k, pair):
+                r = gnss_factors.doppler_residual(
+                    p_o.astype(F64), v_o.astype(F64), p_n.astype(F64),
+                    v_n.astype(F64), g.ratio, ddt_k, anchor, yaw,
+                    g.sat_pos, g.sat_vel, g.sat_ddt, g.dopp,
+                    g.dopp_valid & g.sv_valid,
+                    jnp.maximum(g.dopp_std, 1e-3), lever_arm=lever)
+                return jnp.where(g.valid & pair, r, jnp.zeros_like(r))
+
+            r_dopp = jax.vmap(dopp_k)(gnss_win, p_older, v_older, state.p,
+                                      state.v, ddt, pair_ok)
+            r_dopp = r_dopp * dense.huber_weight(r_dopp, 1.0)
+            # Consecutive-epoch clock-drift tie (constantClockDriftFactor,
+            # dopp_factor.hpp:88-103; Estimator.cpp:3192): with fixed window
+            # shapes we tie adjacent slots that BOTH carry an epoch — a tie
+            # across an epoch-less interval is dropped rather than skipped
+            # to the next epoch (the drift random-walk just restarts).
+            tie_ok = gnss_win.valid[:-1] & gnss_win.valid[1:] & pair_ok[1:]
+            r_tie = jnp.where(tie_ok, ddt[:-1] - ddt[1:], 0.0)
+            r_tie = r_tie * dense.huber_weight(r_tie, 1.0)
+            parts += [r_dopp.reshape(-1), r_tie]
 
     return jnp.concatenate(parts)
 
@@ -388,6 +445,10 @@ def make_replay(cfg: GlioConfig):
         imu_valid: jnp.ndarray  # (K-1, NI)
         imu_seed: jnp.ndarray   # (K-1, 6) acc0/gyr0 seeds per edge
         gnss_win: GnssKfData    # (K, ...) ring of interval DD epochs
+        ddt: jnp.ndarray        # (K,) receiver clock drift per bound epoch
+
+    use_gnss = est.gnss_in_sliding_window
+    use_dopp = use_gnss and est.doppler_in_window
 
     def step(carry: Carry, inp: KeyframeInput):
         c = carry.base
@@ -438,6 +499,12 @@ def make_replay(cfg: GlioConfig):
                 ring if ring.ndim == 0 else ring,
                 jnp.concatenate([ring[1:], new[None]], 0)),
             carry.gnss_win, inp.gnss)
+        # Clock-drift ring slides with the epochs; the incoming slot warm-
+        # starts from the last estimate (drift is slowly varying — that is
+        # exactly what constantClockDriftFactor encodes).
+        ddt_ring = jnp.where(
+            first, carry.ddt,
+            jnp.concatenate([carry.ddt[1:], carry.ddt[-1:]], 0))
 
         # Edge validity: edge k valid once kf_count > K-1-k ... simpler:
         # number of edges available = min(kf_count, K-1) (after append).
@@ -473,13 +540,21 @@ def make_replay(cfg: GlioConfig):
         have_map = jnp.any(map_valid_flat)
         lidar_meas = lidar_meas[:4] + (lidar_meas[4] & have_map,)
 
-        # 6. Solve.
+        # 6. Solve. With GNSS in the window the state extends to
+        # WindowStateDdt (per-slot receiver clock drift for the Doppler
+        # rows); `split` keeps every residual closure generic over both.
+        def split(s):
+            if use_dopp:
+                return s.win, s.ddt
+            return s, None
+
         def residual(s):
+            w_, ddt_ = split(s)
             return _window_residual(
-                cfg, s, pres, imu_S, imu_edge_valid, lidar_meas,
+                cfg, w_, pres, imu_S, imu_edge_valid, lidar_meas,
                 c.prior_sqrt_jac, c.prior_sqrt_res, c.prior_valid,
                 c.prior_lin, gravity,
-                gnss_win if est.gnss_in_sliding_window else None)
+                gnss_win if use_gnss else None, ddt=ddt_)
 
         # f32 twin for the LM Jacobian: all measurement tensors cast once;
         # state casts inside. GNSS rows stay f64 (pseudorange magnitudes).
@@ -495,12 +570,13 @@ def make_replay(cfg: GlioConfig):
         gravity32 = gravity.astype(F32c)
 
         def residual32(s):
-            s32 = jax.tree.map(lambda a: a.astype(F32c), s)
+            w_, ddt_ = split(s)
+            s32 = jax.tree.map(lambda a: a.astype(F32c), w_)
             r = _window_residual(
                 cfg, s32, pres32, imu_S32, imu_edge_valid, lidar_meas32,
                 prior_sj32, prior_sr32, c.prior_valid, prior_lin32,
                 gravity32,
-                None if not est.gnss_in_sliding_window else gnss_win)
+                gnss_win if use_gnss else None, ddt=ddt_)
             return r.astype(F32c)
 
         # Gauge handling during warm-up (before the first marginalization
@@ -512,6 +588,7 @@ def make_replay(cfg: GlioConfig):
         # regularization through its GNSS/odometry alignment).
         def residual_anchored(s):
             r = residual(s)
+            s, _ = split(s)
             anchor = jnp.concatenate([
                 1e2 * (s.p[0] - w_new.p[0]),
                 1e2 * quat.log(quat.mul(quat.conj(w_new.q[0]), s.q[0])),
@@ -528,6 +605,7 @@ def make_replay(cfg: GlioConfig):
 
         def residual_anchored32(s):
             r = residual32(s)
+            s, _ = split(s)
             s32 = jax.tree.map(lambda a: a.astype(F32c), s)
             anchor = jnp.concatenate([
                 1e2 * (s32.p[0] - w_new.p[0].astype(F32c)),
@@ -539,11 +617,19 @@ def make_replay(cfg: GlioConfig):
                 10.0 * s32.ba.reshape(-1), 30.0 * s32.bg.reshape(-1)])
             return jnp.concatenate([r, anchor, bias_reg])
 
-        out = dense.lm_solve(
-            residual_anchored, retract, w_new, K * POSE_DOF,
-            max_iters=est.sw_max_iter,
-            residual32_fn=residual_anchored32)
-        solved = out.x
+        if use_dopp:
+            out = dense.lm_solve(
+                residual_anchored, retract_ddt,
+                WindowStateDdt(w_new, ddt_ring), K * POSE_DOF + K,
+                max_iters=est.sw_max_iter,
+                residual32_fn=residual_anchored32)
+            solved, ddt_solved = out.x.win, out.x.ddt
+        else:
+            out = dense.lm_solve(
+                residual_anchored, retract, w_new, K * POSE_DOF,
+                max_iters=est.sw_max_iter,
+                residual32_fn=residual_anchored32)
+            solved, ddt_solved = out.x, ddt_ring
 
         # Divergence gates (Estimator.cpp:2650-2726): reject absurd
         # solutions, keep prediction instead.
@@ -551,8 +637,10 @@ def make_replay(cfg: GlioConfig):
               & (jnp.linalg.norm(solved.p[newest] - w_new.p[newest]) < 100.0)
               & (jnp.linalg.norm(solved.v) < 100.0 * K)
               & (jnp.max(jnp.abs(solved.ba)) < 2.0)
-              & (jnp.max(jnp.abs(solved.bg)) < 2.0))
+              & (jnp.max(jnp.abs(solved.bg)) < 2.0)
+              & jnp.all(jnp.abs(ddt_solved) < 1e4))
         solved = jax.tree.map(lambda a, b: jnp.where(ok, a, b), solved, w_new)
+        ddt_solved = jnp.where(ok, ddt_solved, ddt_ring)
 
         # 7. Marginalize the oldest frame once the window is full.
         sj, sr = _marginalize_oldest(
@@ -613,11 +701,12 @@ def make_replay(cfg: GlioConfig):
             last_gyr=g_last,
         )
         new_carry = Carry(new_base, imu_acc, imu_gyr, imu_dt, imu_valid,
-                          imu_seed, gnss_win)
+                          imu_seed, gnss_win, ddt_solved)
         out_rec = StepOutput(
             p=solved.p[newest], q=solved.q[newest], v=solved.v[newest],
             ba=solved.ba[newest], bg=solved.bg[newest], cost=out.cost,
-            n_lidar_factors=jnp.sum(lidar_meas[4]).astype(jnp.int32))
+            n_lidar_factors=jnp.sum(lidar_meas[4]).astype(jnp.int32),
+            ddt=ddt_solved[newest])
         return new_carry, out_rec
 
     def make_initial_carry(p0, q0, v0, acc0=None, gyr0=None,
@@ -640,6 +729,7 @@ def make_replay(cfg: GlioConfig):
             imu_valid=jnp.zeros((K - 1, ni), bool),
             imu_seed=jnp.zeros((K - 1, 6), F64),
             gnss_win=gnss0,
+            ddt=jnp.zeros((K,), F64),
         )
 
     @jax.jit
@@ -665,6 +755,7 @@ def make_replay(cfg: GlioConfig):
             imu_valid=jnp.zeros((K - 1, NI), bool),
             imu_seed=jnp.zeros((K - 1, 6), F64),
             gnss_win=gnss0,
+            ddt=jnp.zeros((K,), F64),
         )
         final, outs = jax.lax.scan(step, carry, inputs)
         return outs

@@ -39,6 +39,11 @@ class PipelineResult:
     q_batch: Optional[np.ndarray] = None
     p_lc: Optional[np.ndarray] = None
     q_lc: Optional[np.ndarray] = None
+    n_loop_edges: int = 0
+    # Dense inter-keyframe interpolation (optimizeLocalGraph parity).
+    p_dense: Optional[np.ndarray] = None        # (T-1, D, 3)
+    q_dense: Optional[np.ndarray] = None        # (T-1, D, 4)
+    dense_valid: Optional[np.ndarray] = None    # (T-1, D)
 
 
 def _georef(p_local, q_local, anchor_ecef, yaw_enu_local):
@@ -302,10 +307,80 @@ def run_pipeline(ep: Episode, cfg: GlioConfig = GlioConfig(),
                             anchor, yaw, station, p_sw, q_sw)
 
 
+def apply_loop_closure(cfg: GlioConfig, ep: Episode, p_sw, q_sw):
+    """Detect, ICP-verify and apply loop closures to the keyframe chain.
+
+    Pipeline wiring of ``models.loop_closure`` (reference:
+    ``loopClosureThread``, Estimator.cpp:5090-5273 — a 1 Hz thread; here
+    one vectorized pass over the finished sliding-window trajectory).
+    Returns (p, q, n_edges).
+    """
+    from .models import loop_closure as lc_mod
+
+    est = cfg.estimator
+    kf_time = np.asarray(ep.kf_time)
+    cands = lc_mod.detect_loops(
+        p_sw, kf_time, search_radius=est.lc_search_radius,
+        time_thresh=est.lc_time_thres)
+    if not cands:
+        return p_sw, q_sw, 0
+    w = max(est.lc_map_width // 2, 1)
+    T = p_sw.shape[0]
+    edges = []
+    for c in cands:
+        j0, j1 = max(c.old - w, 0), min(c.old + w + 1, T)
+        p_c, q_c, fitness, ok = lc_mod.verify_loop(
+            cfg, ep.scan[c.cur], ep.scan_valid[c.cur],
+            ep.scan[j0:j1], ep.scan_valid[j0:j1],
+            p_sw[j0:j1], q_sw[j0:j1], p_sw[c.cur], q_sw[c.cur])
+        if not bool(ok):
+            continue
+        qo = jnp.asarray(q_sw[c.old])
+        dq = quat.mul(quat.conj(qo), q_c)
+        dp = quat.rotate(quat.conj(qo), p_c - jnp.asarray(p_sw[c.old]))
+        edges.append((c.old, c.cur, np.asarray(dp), np.asarray(dq)))
+    if not edges:
+        return p_sw, q_sw, 0
+    p, q = lc_mod.solve_with_loops(p_sw, q_sw, edges)
+    return np.asarray(p), np.asarray(q), len(edges)
+
+
 def _finish_pipeline(ep, cfg, out_dir, run_batch, run_lc,
                      anchor, yaw, station, p_sw, q_sw) -> PipelineResult:
     """Stages 2-3 + CSV output, shared by all stage-1 drivers."""
     res = PipelineResult(kf_time=np.asarray(ep.kf_time), p_sw=p_sw, q_sw=q_sw)
+
+    # --- loop closure on the keyframe chain (before the global stages,
+    # like the reference's loop graph feeding the downstream fusion) -----
+    if cfg.estimator.loop_closure_on:
+        p_sw, q_sw, n_edges = apply_loop_closure(cfg, ep, p_sw, q_sw)
+        res.p_sw, res.q_sw = p_sw, q_sw
+        res.n_loop_edges = n_edges
+
+    # --- dense inter-keyframe interpolation (optimizeLocalGraph parity,
+    # Estimator.cpp:4274-4558) — when the episode carries the 10 Hz
+    # dense-frame odometry channel --------------------------------------
+    if ep.dense_rel_dp is not None:
+        from .models import local_graph
+        max_dense = int(ep.dense_rel_dp.shape[1]) - 1
+        p_d, q_d, d_valid = local_graph.interpolate_segments(
+            jnp.asarray(p_sw), jnp.asarray(q_sw),
+            jnp.asarray(ep.dense_rel_dp), jnp.asarray(ep.dense_rel_dq),
+            jnp.asarray(ep.dense_rel_valid), max_dense=max_dense)
+        res.p_dense = np.asarray(p_d)
+        res.q_dense = np.asarray(q_d)
+        res.dense_valid = np.asarray(d_valid)
+        if out_dir:
+            os.makedirs(out_dir, exist_ok=True)
+            dv = res.dense_valid.reshape(-1)
+            llh, ypr, enu = _georef(res.p_dense.reshape(-1, 3)[dv],
+                                    res.q_dense.reshape(-1, 4)[dv],
+                                    anchor, yaw)
+            t_d = (np.asarray(ep.dense_time).reshape(-1)[dv]
+                   if ep.dense_time is not None
+                   else np.zeros(int(dv.sum())))
+            traj.write_result_csv(os.path.join(out_dir, "dense_path.csv"),
+                                  t_d, llh, ypr, enu)
 
     if out_dir:
         os.makedirs(out_dir, exist_ok=True)

@@ -1,5 +1,13 @@
-"""LC fusion on real Whampoa: golden-SW odometry + our RTK-float DD fixes,
-compared against the reference's lc_result.csv."""
+"""LC fusion on real Whampoa: golden-SW odometry + our RTK fixes,
+compared against the reference's lc_result.csv.
+
+Round 2: the fix source is the carrier-phase float Kalman filter
+(``gnss/rtk.float_filter``, rtkpos parity) with LAMBDA integer-resolution
+statistics reported (``gnss/lambda_ar``); per-epoch code DD remains the
+comparison baseline. The GNSS epochs convert once and cache to /tmp.
+"""
+import os
+
 import numpy as np
 import jax
 jax.config.update("jax_platforms", "cpu")
@@ -7,47 +15,101 @@ import jax.numpy as jnp
 
 from glio_tpu.data.episode import GnssEpochs
 from glio_tpu.eval.trajectory import read_result_csv, associate, ate_rmse
-from glio_tpu.gnss import rtk
+from glio_tpu.gnss import lambda_ar, rtk
 from glio_tpu.models import lc_fusion
 from glio_tpu.utils import coords as C
 from glio_tpu.utils import quat
 
 ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
 STATION = np.array([-2414266.9200, 5386768.9870, 2407460.0310])
+DATA = "/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/urbannavWhampoa"
+CACHE = "/tmp/whampoa_gnss.npz"
 
-z = np.load("/tmp/whampoa_gnss.npz")
-g = GnssEpochs(**{k: z[k] for k in z.files})
+
+def load_gnss() -> GnssEpochs:
+    if os.path.exists(CACHE):
+        z = np.load(CACHE)
+        return GnssEpochs(**{k: z[k] for k in z.files})
+    from glio_tpu.gnss import converter
+    g = converter.convert(
+        f"{DATA}/20210521.medium-urban.whampoa.ublox.m8t.GC.obs",
+        f"{DATA}/hksc141g.nav", station_ecef=STATION)
+    np.savez_compressed(CACHE, **{
+        k: v for k, v in g.__dict__.items() if v is not None})
+    return g
+
+
+g = load_gnss()
 sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
 lc = read_result_csv("/root/reference/result/lc_result.csv")
 
-fixes, covs, oks, ndd = rtk.solve_epochs_dd(
+# --- per-epoch code DD (round-1 baseline) ---
+fixes_dd, covs, oks, ndd = rtk.solve_epochs_dd(
     jnp.asarray(g.sat_pos), jnp.asarray(g.psr_rov), jnp.asarray(g.psr_sta),
     jnp.asarray(g.valid), jnp.asarray(g.system, jnp.int32),
     jnp.asarray(g.master), jnp.asarray(STATION), jnp.asarray(g.elevation),
     jnp.asarray(g.snr), jnp.asarray(ANCHOR))
-fixes = np.asarray(fixes)
-sig = np.sqrt(np.maximum(np.trace(np.asarray(covs), axis1=1, axis2=2) / 3, 1e-6))
-okn = np.asarray(oks) & (sig < 5.0)   # gnssCovThreshold
-print(f"RTK fixes: {okn.sum()}/{len(okn)} pass the covariance gate")
+fixes_dd = np.asarray(fixes_dd)
+sig_dd = np.sqrt(np.maximum(
+    np.trace(np.asarray(covs), axis1=1, axis2=2) / 3, 1e-6))
+ok_dd = np.asarray(oks) & (sig_dd < 5.0)
+print(f"code DD fixes: {ok_dd.sum()}/{len(ok_dd)} pass the covariance gate")
+
+# --- carrier-phase float filter (rtkpos parity) ---
+x0 = fixes_dd[np.nonzero(ok_dd)[0][0]] if ok_dd.any() else ANCHOR
+flt = rtk.run_float_filter(g, STATION, x0)
+sig_f = np.sqrt(np.maximum(
+    np.trace(np.asarray(flt.pos_cov), axis1=1, axis2=2) / 3, 1e-6))
+ok_f = np.asarray(flt.ok) & (sig_f < 5.0)
+print(f"float filter:  {ok_f.sum()}/{len(ok_f)} pass the covariance gate; "
+      f"median carrier DDs {np.median(np.asarray(flt.n_car)):.0f}")
+
+# LAMBDA integer-resolution statistics (the synthesized-station atmosphere
+# residual usually fails the ratio test on this deep-urban set — report
+# honestly rather than force fixes).
+pos_ar, fixed, ratio = lambda_ar.resolve_trajectory(g, flt)
+print(f"LAMBDA: {fixed.sum()}/{len(fixed)} epochs ratio-fixed "
+      f"(median ratio {np.median(ratio[ratio > 0]) if (ratio > 0).any() else 0:.2f})")
 
 q_odo = np.asarray(quat.from_ypr(jnp.asarray(np.deg2rad(sw.ypr_deg))))
-enu_fix = np.asarray(C.ecef2enu(jnp.asarray(fixes), jnp.asarray(ANCHOR)))
 ia, ib = associate(sw.time, g.time, max_dt=0.25)
 T = sw.enu.shape[0]
-gp = np.zeros((T, 3)); gv = np.zeros(T, bool); gs = np.ones(T)
-for a, b in zip(ia, ib):
-    if okn[b]:
-        gp[a] = enu_fix[b]; gv[a] = True; gs[a] = max(sig[b], 0.5)
-prob = lc_fusion.build_problem(sw.enu, q_odo, gp, gv, gs, min_spacing_m=5.0)
-print(f"GNSS factors used: {int(np.asarray(prob.gnss_valid).sum())}")
-p, q, cost = lc_fusion.solve(prob, jnp.asarray(sw.enu), jnp.asarray(q_odo),
-                             gn_iters=8, pcg_iters=400)
-p = np.asarray(p)
 ia2, ib2 = associate(sw.time, lc.time)
 r0, e0 = ate_rmse(sw.enu[ia2], lc.enu[ib2])
-r1, e1 = ate_rmse(p[ia2], lc.enu[ib2])
-off = np.median(p[ia2] - lc.enu[ib2], axis=0)
-r2, e2 = ate_rmse(p[ia2] - off, lc.enu[ib2])
 print(f"golden-SW vs golden-LC: rmse {r0:.2f} max {e0.max():.1f}")
-print(f"OUR LC vs golden-LC:    rmse {r1:.2f} max {e1.max():.1f} median {np.median(e1):.2f}")
-print(f"offset {off.round(2)}; shape rmse {r2:.2f} median {np.median(e2):.2f}")
+
+
+def lc_solve(fixes, okn, sig, label):
+    enu_fix = np.asarray(C.ecef2enu(jnp.asarray(fixes), jnp.asarray(ANCHOR)))
+    gp = np.zeros((T, 3)); gv = np.zeros(T, bool); gs = np.ones(T)
+    for a, b in zip(ia, ib):
+        if okn[b]:
+            gp[a] = enu_fix[b]; gv[a] = True; gs[a] = max(sig[b], 0.5)
+    prob = lc_fusion.build_problem(sw.enu, q_odo, gp, gv, gs,
+                                   min_spacing_m=5.0)
+    p, q, cost = lc_fusion.solve(prob, jnp.asarray(sw.enu),
+                                 jnp.asarray(q_odo),
+                                 gn_iters=8, pcg_iters=400,
+                                 gnss_huber=2.0)
+    p = np.asarray(p)
+    r1, e1 = ate_rmse(p[ia2], lc.enu[ib2])
+    off = np.median(p[ia2] - lc.enu[ib2], axis=0)
+    r2, e2 = ate_rmse(p[ia2] - off, lc.enu[ib2])
+    print(f"LC[{label}] ({int(np.asarray(prob.gnss_valid).sum())} factors) "
+          f"vs golden-LC: rmse {r1:.2f} max {e1.max():.1f} "
+          f"median {np.median(e1):.2f} | shape rmse {r2:.2f} "
+          f"median {np.median(e2):.2f} (offset {off.round(2)})")
+    return p
+
+
+# Source A: per-epoch code DD (zero-mean errors; RTKLIB-gate parity).
+lc_solve(fixes_dd, ok_dd, sig_dd, "code-DD")
+# Source B: float filter + LAMBDA fixes. NOTE: with the synthesized base
+# station, the filter confidently tracks the smooth station-atmosphere
+# residual — formal covariance passes the gate while the position is
+# biased (tens of metres here). A real base-station file removes this;
+# the comparison is reported for honesty, not preferred.
+fixes_ar = np.asarray(flt.pos).copy()
+fixes_ar[fixed] = pos_ar[fixed]
+sig_ar = np.where(fixed, np.minimum(sig_f, 0.5), sig_f)
+lc_solve(fixes_ar, ok_f, sig_ar, "float+AR")

@@ -219,3 +219,45 @@ def test_doppler_in_batch_flag():
                                    lm_iters=5)
     assert np.isfinite(np.asarray(p)).all()
     assert costs[-1] <= costs[0]
+
+
+def test_sms1_imu_chain_beats_level0_on_noisy_odometry():
+    """Reference level-1 adds ImuFactor chains over 15-dof states
+    (Estimator.cpp:2990-3077). With noisy odometry the level-0 relatives
+    encode the noise; the IMU chain supplies independent smooth
+    inter-keyframe measurements, so level-1-with-IMU must track truth
+    better than level-0 (VERDICT r1 item 5)."""
+    from glio_tpu.data.simulator import simulate_episode, simulate_gnss_epochs
+    cfg = GlioConfig().replace(
+        estimator=GlioConfig().estimator.__class__(
+            search_range=3, sms_fusion_level=1))
+    ep = simulate_episode(n_keyframes=30, scan_points=512, seed=9,
+                          scan_noise=0.01, q_lb=(1, 0, 0, 0), t_lb=(0, 0, 0))
+    gnss = simulate_gnss_epochs(ep.gt_p, ep.kf_time, ANCHOR, STATION,
+                                psr_noise=0.5, seed=9)
+    rng = np.random.default_rng(9)
+    p_odo = ep.gt_p + 1.5 * rng.normal(size=ep.gt_p.shape)
+    prob = B.build_problem(cfg, p_odo, ep.gt_q, ep.kf_time, gnss,
+                           ANCHOR, 0.0, STATION, despike=False)
+    sms = B.build_sms1(cfg, ep.scan, ep.scan_valid, ep.gt_p, ep.gt_q,
+                       chunk=32)
+    chain = B.build_imu_chain(cfg, ep.imu_acc, ep.imu_gyr, ep.imu_dt,
+                              ep.imu_valid)
+    assert bool(np.asarray(chain.valid).all())
+
+    p0l, _, _ = B.optimize_batch(cfg, prob, thresholds=(1e9, 10.0),
+                                 lm_iters=5)
+    p1, q1, v1, ba1, bg1, costs = B.optimize_batch_sms1_imu(
+        cfg, prob, sms, chain, v0=ep.gt_v, thresholds=(1e9, 10.0),
+        lm_iters=5)
+    e0 = np.linalg.norm(p_odo - ep.gt_p, axis=-1)
+    el0 = np.linalg.norm(np.asarray(p0l) - ep.gt_p, axis=-1)
+    e1 = np.linalg.norm(np.asarray(p1) - ep.gt_p, axis=-1)
+    assert np.isfinite(np.asarray(p1)).all()
+    assert costs[-1] <= costs[0]
+    # IMU chains + planes beat both the init and the level-0 solve.
+    assert e1.mean() < 0.7 * e0.mean(), (e0.mean(), e1.mean())
+    assert e1.mean() < el0.mean(), (el0.mean(), e1.mean())
+    # Velocity states track ground truth through the chain.
+    ev = np.linalg.norm(np.asarray(v1) - ep.gt_v, axis=-1)
+    assert ev.mean() < 1.0, ev.mean()

@@ -321,3 +321,77 @@ class TestSecondSequence:
         assert np.all(np.abs(np.median(lat) - 22.29) < 0.02)
         assert np.all(np.abs(np.median(lon) - 114.18) < 0.02)
         assert np.median(np.asarray(rms)[okn]) < 20.0
+
+
+class TestGlonassEphemeris:
+    """GLONASS state-vector ephemeris (VERDICT r1 item 10) against the
+    real broadcast records shipped in the reference dataset."""
+
+    NAV = ("/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/"
+           "urbannavWhampoa/hksc141g.nav")
+
+    def test_parse_real_records(self):
+        from glio_tpu.gnss.rinex import parse_nav_glo
+        glo = parse_nav_glo(self.NAV)
+        assert len(glo) >= 20           # 24 GLONASS slots in the file
+        g = glo["R01"][0]
+        r = np.linalg.norm(g.pos)
+        v = np.linalg.norm(g.vel)
+        # GLONASS orbit: ~25 508 km radius; ECEF (rotating-frame) speed
+        # = inertial ~3.95 km/s minus the ω×r share → ~2.5-4.5 km/s.
+        assert 2.4e7 < r < 2.6e7, r
+        assert 2.5e3 < v < 4.5e3, v
+        assert g.freq_num in range(-7, 7)
+
+    def test_integration_consistency_between_records(self):
+        """Integrate record k to record k+1's epoch: the two broadcast
+        states must agree to broadcast-ephemeris accuracy (the records
+        are 30 min apart; RTKLIB's geph2pos shows the same agreement)."""
+        from glio_tpu.gnss.ephemeris import glo_pos_vel
+        from glio_tpu.gnss.rinex import parse_nav_glo
+        glo = parse_nav_glo(self.NAV)
+        checked = 0
+        for sat, recs in glo.items():
+            for a, b in zip(recs[:-1], recs[1:]):
+                if not (0 < b.toe - a.toe <= 3600.0):
+                    continue
+                p, v = glo_pos_vel(a, b.toe)
+                err_p = np.linalg.norm(p - b.pos)
+                err_v = np.linalg.norm(v - b.vel)
+                assert err_p < 20.0, (sat, err_p)
+                assert err_v < 0.05, (sat, err_v)
+                checked += 1
+        assert checked >= 5, checked
+
+    def test_clock_model(self):
+        from glio_tpu.gnss.ephemeris import glo_clock
+        from glio_tpu.gnss.rinex import parse_nav_glo
+        glo = parse_nav_glo(self.NAV)
+        g = glo["R01"][0]
+        # At toe the bias equals −τ_n (file stores −τ_n in field 1).
+        assert abs(glo_clock(g, g.toe) - (-g.tau_n)) < 1e-15
+        # Clock bias magnitude sane (< 1 ms).
+        assert abs(glo_clock(g, g.toe + 900.0)) < 1e-3
+
+    def test_converter_with_glonass(self):
+        """Full converter on the TST f9p file (has R observations) with
+        systems='GRC': GLONASS satellites must land in the epoch tensors
+        with sane elevations and FDMA wavelengths."""
+        from glio_tpu.gnss import converter
+        from glio_tpu.gnss.rinex import SYS_GLO
+        base = ("/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/"
+                "tst20210517")
+        station = np.array([-2414266.9200, 5386768.9870, 2407460.0310])
+        g = converter.convert(
+            f"{base}/20210517.light-urban.tste.ublox.f9p.obs",
+            f"{base}/hksc137c.nav", station_ecef=station,
+            opts=converter.ConvertOptions(systems="GRC", max_epochs=40))
+        n_glo = int(((np.asarray(g.system) == SYS_GLO)
+                     & np.asarray(g.valid)).sum())
+        assert n_glo > 20, n_glo
+        m = (np.asarray(g.system) == SYS_GLO) & np.asarray(g.valid)
+        els = np.asarray(g.elevation)[m]
+        assert (els > np.deg2rad(15.0) - 1e-9).all()
+        # Satellite positions on the GLONASS shell.
+        r = np.linalg.norm(np.asarray(g.sat_pos)[m], axis=-1)
+        assert ((r > 2.4e7) & (r < 2.6e7)).all()
