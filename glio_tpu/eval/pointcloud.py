@@ -36,8 +36,7 @@ def assemble_map(scans, scan_valid, p, q, every: int = 3):
     from ..utils import quat
     sel = slice(0, None, every)
     world = np.asarray(
-        quat.rotate(jnp.asarray(p[sel])[:, None, :] * 0
-                    + jnp.asarray(q[sel])[:, None, :],
+        quat.rotate(jnp.asarray(q[sel])[:, None, :],
                     jnp.asarray(scans[sel], jnp.float64))
         + jnp.asarray(p[sel])[:, None, :])
     return world.reshape(-1, 3), np.asarray(scan_valid[sel]).reshape(-1)

@@ -387,6 +387,15 @@ def _finish_pipeline(ep, cfg, out_dir, run_batch, run_lc,
         llh, ypr, enu = _georef(p_sw, q_sw, anchor, yaw)
         traj.write_result_csv(os.path.join(out_dir, "tc_sw_result.csv"),
                               res.kf_time, llh, ypr, enu)
+        if cfg.estimator.save_pcd:
+            # Map export parity (save_pcd + mapping_interval,
+            # Estimator.cpp:5324-5349).
+            from .eval import pointcloud
+            world, valid = pointcloud.assemble_map(
+                ep.scan, ep.scan_valid, p_sw, q_sw,
+                every=max(cfg.estimator.mapping_interval, 1))
+            pointcloud.write_pcd(os.path.join(out_dir, "map.pcd"),
+                                 world, valid)
 
     have_gnss = ep.gnss is not None
     if run_batch is None:

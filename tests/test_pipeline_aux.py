@@ -165,3 +165,18 @@ def test_pipeline_dense_interpolation(tmp_path):
             off = np.linalg.norm(res.p_dense[k, d] - res.p_sw[k])
             assert off < seg + 0.5, (k, d, off, seg)
     assert (tmp_path / "dense_path.csv").exists()
+
+
+def test_pipeline_save_pcd(tmp_path):
+    """save_pcd exports the assembled map (Estimator.cpp:5324-5349)."""
+    from glio_tpu.pipeline import run_pipeline
+    from glio_tpu.eval.pointcloud import read_pcd
+    ep = simulate_episode(n_keyframes=6, scan_points=256, seed=33)
+    cfg = CFG.replace(estimator=EstimatorConfig(
+        local_map_width=6, sw_max_iter=4, save_pcd=True,
+        mapping_interval=2))
+    run_pipeline(ep, cfg, out_dir=str(tmp_path),
+                 run_batch=False, run_lc=False)
+    pts = read_pcd(str(tmp_path / "map.pcd"))
+    assert pts.shape[0] > 200
+    assert np.isfinite(pts).all()
