@@ -280,6 +280,11 @@ def episode_from_streams(cfg: GlioConfig,
         raise ValueError("fewer than 2 keyframes selected")
 
     # 3. IMU interval binning (interval i: (kf_time[i-1], kf_time[i]]).
+    # When an interval holds more samples than the NI budget, the run is
+    # DECIMATED — group-averaged acc/gyr with group-summed dt — never
+    # truncated: a truncated run would integrate only part of the
+    # interval and leave a systematic (0.5·g·Δt² -scale) residual on
+    # every IMU edge of exactly the long-gap real-bag intervals.
     kf_time = scan_time[kf_idx]
     acc_b = np.zeros((T, NI, 3))
     gyr_b = np.zeros((T, NI, 3))
@@ -287,14 +292,25 @@ def episode_from_streams(cfg: GlioConfig,
     val_b = np.zeros((T, NI), bool)
     for i in range(1, T):
         m = (imu_time > kf_time[i - 1]) & (imu_time <= kf_time[i])
-        sel = np.nonzero(m)[0][:NI]
-        n = len(sel)
-        if n == 0:
+        sel = np.nonzero(m)[0]
+        n_raw = len(sel)
+        if n_raw == 0:
             continue
-        acc_b[i, :n] = imu_acc[sel]
-        gyr_b[i, :n] = imu_gyr[sel]
         ts = np.concatenate([[kf_time[i - 1]], imu_time[sel]])
-        dt_b[i, :n] = np.diff(ts)
+        dts = np.diff(ts)
+        if n_raw <= NI:
+            n = n_raw
+            acc_b[i, :n] = imu_acc[sel]
+            gyr_b[i, :n] = imu_gyr[sel]
+            dt_b[i, :n] = dts
+        else:
+            bounds = np.linspace(0, n_raw, NI + 1).round().astype(int)
+            for g_ in range(NI):
+                a, b = bounds[g_], max(bounds[g_ + 1], bounds[g_] + 1)
+                acc_b[i, g_] = imu_acc[sel[a:b]].mean(0)
+                gyr_b[i, g_] = imu_gyr[sel[a:b]].mean(0)
+                dt_b[i, g_] = dts[a:b].sum()
+            n = NI
         val_b[i, :n] = True
 
     # 4. Initial attitude by gravity alignment (Utility::g2R parity:

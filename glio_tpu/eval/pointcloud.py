@@ -29,14 +29,21 @@ def read_pcd(path: str) -> np.ndarray:
     return np.loadtxt(lines[start:], dtype=np.float32).reshape(-1, 3)
 
 
-def assemble_map(scans, scan_valid, p, q, every: int = 3):
+def assemble_map(scans, scan_valid, p, q, every: int = 3,
+                 ql2b=(1.0, 0.0, 0.0, 0.0), tl2b=(0.0, 0.0, 0.0)):
     """World-frame map cloud from keyframe scans + poses
-    (``mapping_interval`` downsampling like the reference)."""
+    (``mapping_interval`` downsampling like the reference).
+
+    ``scans`` are LIDAR-frame points (the Episode contract); ql2b/tl2b is
+    the lidar→body extrinsic the estimator applies (body_from_lidar)."""
     import jax.numpy as jnp
+    from ..factors.lidar import body_from_lidar
     from ..utils import quat
     sel = slice(0, None, every)
+    body = body_from_lidar(jnp.asarray(scans[sel], jnp.float64),
+                           jnp.asarray(ql2b, jnp.float64),
+                           jnp.asarray(tl2b, jnp.float64))
     world = np.asarray(
-        quat.rotate(jnp.asarray(q[sel])[:, None, :],
-                    jnp.asarray(scans[sel], jnp.float64))
+        quat.rotate(jnp.asarray(q[sel])[:, None, :], body)
         + jnp.asarray(p[sel])[:, None, :])
     return world.reshape(-1, 3), np.asarray(scan_valid[sel]).reshape(-1)

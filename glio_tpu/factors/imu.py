@@ -94,52 +94,10 @@ def _midpoint_step(carry, inp, noise_cov):
     p_new = p + v * dt + 0.5 * un_acc * dt * dt
     v_new = v + un_acc * dt
 
-    # Midpoint linearization (Preintegration.h:118-166): F (15x15), V (15x18).
-    R0 = quat.to_rotmat(q)
-    R1 = quat.to_rotmat(q_new)
-    a0x = so3.hat(acc0 - ba)
-    a1x = so3.hat(acc1 - ba)
-    wx = so3.hat(un_gyr)
-    I3 = jnp.eye(3, dtype=jdtype)
-
-    R0a0x = (R0 @ a0x).astype(jdtype)
-    R1a1x = (R1 @ a1x).astype(jdtype)
-    dtj = dt.astype(jdtype)
-    # Note: the reference uses I − ω^ dt for the rotation transition.
-    rot_tx = I3 - wx.astype(jdtype) * dtj
-    R0 = R0.astype(jdtype)
-    R1 = R1.astype(jdtype)
-
-    F = jnp.zeros((15, 15), dtype=jdtype)
-    F = F.at[O_P:O_P+3, O_P:O_P+3].set(I3)
-    F = F.at[O_P:O_P+3, O_R:O_R+3].set(
-        -0.25 * R0a0x * dtj * dtj + -0.25 * R1a1x @ rot_tx * dtj * dtj)
-    F = F.at[O_P:O_P+3, O_V:O_V+3].set(I3 * dtj)
-    F = F.at[O_P:O_P+3, O_BA:O_BA+3].set(-0.25 * (R0 + R1) * dtj * dtj)
-    F = F.at[O_P:O_P+3, O_BG:O_BG+3].set(0.25 * R1a1x * dtj * dtj * dtj)
-    F = F.at[O_R:O_R+3, O_R:O_R+3].set(rot_tx)
-    F = F.at[O_R:O_R+3, O_BG:O_BG+3].set(-I3 * dtj)
-    F = F.at[O_V:O_V+3, O_R:O_R+3].set(
-        -0.5 * R0a0x * dtj + -0.5 * R1a1x @ rot_tx * dtj)
-    F = F.at[O_V:O_V+3, O_V:O_V+3].set(I3)
-    F = F.at[O_V:O_V+3, O_BA:O_BA+3].set(-0.5 * (R0 + R1) * dtj)
-    F = F.at[O_V:O_V+3, O_BG:O_BG+3].set(0.5 * R1a1x * dtj * dtj)
-    F = F.at[O_BA:O_BA+3, O_BA:O_BA+3].set(I3)
-    F = F.at[O_BG:O_BG+3, O_BG:O_BG+3].set(I3)
-
-    V = jnp.zeros((15, 18), dtype=jdtype)
-    V = V.at[O_P:O_P+3, 0:3].set(0.25 * R0 * dtj * dtj)
-    V = V.at[O_P:O_P+3, 3:6].set(-0.125 * R1a1x * dtj * dtj * dtj)
-    V = V.at[O_P:O_P+3, 6:9].set(0.25 * R1 * dtj * dtj)
-    V = V.at[O_P:O_P+3, 9:12].set(-0.125 * R1a1x * dtj * dtj * dtj)
-    V = V.at[O_R:O_R+3, 3:6].set(0.5 * I3 * dtj)
-    V = V.at[O_R:O_R+3, 9:12].set(0.5 * I3 * dtj)
-    V = V.at[O_V:O_V+3, 0:3].set(0.5 * R0 * dtj)
-    V = V.at[O_V:O_V+3, 3:6].set(-0.25 * R1a1x * dtj * dtj)
-    V = V.at[O_V:O_V+3, 6:9].set(0.5 * R1 * dtj)
-    V = V.at[O_V:O_V+3, 9:12].set(-0.25 * R1a1x * dtj * dtj)
-    V = V.at[O_BA:O_BA+3, 12:15].set(I3 * dtj)
-    V = V.at[O_BG:O_BG+3, 15:18].set(I3 * dtj)
+    # Midpoint linearization (Preintegration.h:118-166): F (15x15),
+    # V (15x18) — one shared implementation with the associative fast
+    # path (_fv_matrices), so the two paths cannot drift apart.
+    F, V = _fv_matrices(q, q_new, acc0, acc1, un_gyr, dt, ba, jdtype)
 
     jac_new = F @ jac
     cov_new = F @ cov @ F.T + V @ noise_cov @ V.T

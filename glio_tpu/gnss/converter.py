@@ -24,7 +24,8 @@ import numpy as np
 from ..data.episode import GnssEpochs
 from ..utils import coords as C
 from . import atmosphere, dd
-from .ephemeris import CLIGHT, glo_tx_state, stack_ephs, tx_state_batch
+from .ephemeris import (CLIGHT, glo_tx_state_chain, stack_ephs,
+                        tx_state_batch)
 from .rinex import (SYS_BDS, SYS_CHAR, SYS_GLO, parse_nav, parse_nav_glo,
                     parse_obs, select_eph, select_geph)
 
@@ -143,9 +144,15 @@ def convert(rover_obs_path: str, nav_path: str,
         pos[kep], vel[kep], clk[kep], ddt[kep] = tx_state_batch(
             P, t_rx[kep], psr[kep])
         tgd[kep] = P["tgd"] * CLIGHT
+    # Chained per-record integration (one incremental RK4 walk per
+    # broadcast record instead of a from-toe integration per epoch).
+    glo_groups = {}
     for r in np.nonzero(is_glo)[0]:
-        pos[r], vel[r], clk[r], ddt[r] = glo_tx_state(
-            gephs[r], t_rx[r], psr[r])
+        glo_groups.setdefault(id(gephs[r]), (gephs[r], []))[1].append(r)
+    for geph, rows in glo_groups.values():
+        rows = np.asarray(rows)
+        pos[rows], vel[rows], clk[rows], ddt[rows] = glo_tx_state_chain(
+            geph, t_rx[rows], psr[rows])
 
     # ---- geometry + masks ----
     az, el = _azel_np(approx, pos)

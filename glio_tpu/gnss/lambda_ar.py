@@ -172,7 +172,7 @@ class FixResult(NamedTuple):
 def resolve_epoch(pos: np.ndarray, amb_sd: np.ndarray,
                   amb_cov_sd: np.ndarray, pa_cov: np.ndarray,
                   pair_idx: np.ndarray, master_idx: np.ndarray,
-                  wavelength: float, ratio_thresh: float = 3.0,
+                  wavelength, ratio_thresh: float = 3.0,
                   min_dd: int = 4, max_dd: int = 12) -> Optional[FixResult]:
     """Fix one epoch from the float filter's state.
 
@@ -181,7 +181,11 @@ def resolve_epoch(pos: np.ndarray, amb_sd: np.ndarray,
         ambiguities in metres, slot space).
       pair_idx, master_idx: (n_dd,) slot indices forming DD pairs
         (non-master, master-of), carrier-valid only.
-      wavelength: carrier wavelength (m) to convert to cycles.
+      wavelength: carrier wavelength(s) (m) to convert to cycles —
+        scalar, or (n_dd,) per pair (GPS L1 vs BDS B1 differ by ~1%,
+        which is ~1 cycle past |a| ≈ 55 cycles; FDMA pairs whose two
+        satellites have different λ are not integer in any common unit
+        and must not be passed here).
 
     Returns None when the problem is degenerate (too few pairs). The
     ratio test s₂/s₁ ≥ thresh gates the fix (RTKLIB default 3.0).
@@ -189,6 +193,7 @@ def resolve_epoch(pos: np.ndarray, amb_sd: np.ndarray,
     n = len(pair_idx)
     if n < min_dd:
         return None
+    lam = np.broadcast_to(np.asarray(wavelength, float), (n,)).copy()
     if n > max_dd:
         # Keep the best-determined pairs (smallest variance) — bounded
         # search cost, like RTKLIB's partial fixing.
@@ -196,36 +201,46 @@ def resolve_epoch(pos: np.ndarray, amb_sd: np.ndarray,
         keep = np.argsort(var)[:max_dd]
         pair_idx = np.asarray(pair_idx)[keep]
         master_idx = np.asarray(master_idx)[keep]
+        lam = lam[keep]
         n = max_dd
     D = np.zeros((n, amb_sd.shape[0]))
     D[np.arange(n), pair_idx] = 1.0
     D[np.arange(n), master_idx] -= 1.0
-    a_dd = (D @ amb_sd) / wavelength
-    Q_dd = (D @ amb_cov_sd @ D.T) / wavelength ** 2
+    a_dd = (D @ amb_sd) / lam
+    Q_dd = (D @ amb_cov_sd @ D.T) / np.outer(lam, lam)
     Q_dd = 0.5 * (Q_dd + Q_dd.T) + 1e-12 * np.eye(n)
     cands, sq = lambda_ar(a_dd, Q_dd)
     if cands.shape[0] < 2:
         return None
     ratio = float(sq[1] / max(sq[0], 1e-12))
     a_fix = cands[0]
-    # Conditional update: p̌ = p − P_pa Dᵀ Q_dd⁻¹ (a − ǎ) (in cycles →
-    # scale the cross term by 1/λ once).
+    # Conditional update: p̌ = p − P_pa Dᵀ diag(1/λ) Q_dd⁻¹ (a − ǎ).
     try:
         w = np.linalg.solve(Q_dd, a_dd - a_fix)
     except np.linalg.LinAlgError:
         return None
-    pos_fixed = pos - (pa_cov @ D.T / wavelength) @ w
+    pos_fixed = pos - (pa_cov @ D.T / lam[None, :]) @ w
     return FixResult(pos_fixed=pos_fixed, amb_fixed=a_fix, ratio=ratio,
                      fixed=ratio >= ratio_thresh)
 
 
-def resolve_trajectory(gnss, flt, wavelength: float = 0.19029367,
-                       ratio_thresh: float = 3.0):
+# Per-constellation L1-band wavelengths (m); GLONASS is FDMA —
+# per-satellite λ — so its pairs are excluded from integer resolution.
+SYS_LAMBDA = {0: 299792458.0 / 1.57542e9,    # GPS L1
+              2: 299792458.0 / 1.57542e9,    # GAL E1
+              3: 299792458.0 / 1.561098e9}   # BDS B1
+SYS_GLO = 1
+
+
+def resolve_trajectory(gnss, flt, wavelength=None, ratio_thresh: float = 3.0):
     """Run the ratio-tested fix over every filter epoch.
 
     Args:
       gnss: GnssEpochs (for pair structure / carrier validity).
       flt: FloatFilterOut from ``rtk.float_filter``.
+      wavelength: scalar λ override (tests/single-constellation sims);
+        default None uses the per-constellation SYS_LAMBDA table and
+        skips GLONASS (FDMA) pairs.
 
     Returns (pos (E, 3) — fixed where possible else float, fixed (E,)
     bool, ratio (E,)).
@@ -246,20 +261,27 @@ def resolve_trajectory(gnss, flt, wavelength: float = 0.19029367,
     for k in range(E):
         if not ok[k]:
             continue
-        pairs, masters = [], []
+        pairs, masters, lams = [], [], []
         for s in range(master.shape[1]):
             mp = master[k, s]
             if mp < 0 or not car_ok[k, mp]:
+                continue
+            if wavelength is None and s == SYS_GLO:
+                continue                      # FDMA: no common λ
+            lam_s = (wavelength if wavelength is not None
+                     else SYS_LAMBDA.get(s))
+            if lam_s is None:
                 continue
             for m in range(M):
                 if (m != mp and valid[k, m] and car_ok[k, m]
                         and system[k, m] == s):
                     pairs.append(m)
                     masters.append(mp)
+                    lams.append(lam_s)
         res = resolve_epoch(pos[k], amb[k], amb_cov[k], pa_cov[k],
                             np.asarray(pairs, int),
                             np.asarray(masters, int),
-                            wavelength, ratio_thresh)
+                            np.asarray(lams, float), ratio_thresh)
         if res is not None and res.fixed:
             pos[k] = res.pos_fixed
             fixed[k] = True

@@ -210,8 +210,8 @@ BDS_WEEK_OFFSET = 1356
 BDS_TIME_OFFSET = 14.0
 
 
-def parse_nav(path: str, glo: Optional[Dict[str, List[GloEphemeris]]] = None
-              ) -> Dict[str, List[Ephemeris]]:
+def parse_nav(path: str, glo: Optional[Dict[str, List[GloEphemeris]]] = None,
+              skip_kepler: bool = False) -> Dict[str, List[Ephemeris]]:
     """Parse a RINEX 3 navigation file → {sat: [Ephemeris sorted by toe]}.
 
     GPS/GAL/BDS Kepler records. GLONASS state-vector records are decoded
@@ -266,6 +266,9 @@ def parse_nav(path: str, glo: Optional[Dict[str, List[GloEphemeris]]] = None
             continue
         if sys_c not in ("G", "C", "E"):
             i += 1
+            continue
+        if skip_kepler:          # GLONASS-only pass (parse_nav_glo)
+            i += 8
             continue
         try:
             y = int(line[4:8]); mo = int(line[9:11]); dd = int(line[12:14])
@@ -322,7 +325,7 @@ def parse_nav(path: str, glo: Optional[Dict[str, List[GloEphemeris]]] = None
 def parse_nav_glo(path: str) -> Dict[str, List[GloEphemeris]]:
     """GLONASS records of a RINEX 3 nav file → {sat: [GloEphemeris]}."""
     glo: Dict[str, List[GloEphemeris]] = {}
-    parse_nav(path, glo=glo)
+    parse_nav(path, glo=glo, skip_kepler=True)
     for sat in glo:
         glo[sat].sort(key=lambda e: e.toe)
     return glo

@@ -393,7 +393,8 @@ def _finish_pipeline(ep, cfg, out_dir, run_batch, run_lc,
             from .eval import pointcloud
             world, valid = pointcloud.assemble_map(
                 ep.scan, ep.scan_valid, p_sw, q_sw,
-                every=max(cfg.estimator.mapping_interval, 1))
+                every=max(cfg.estimator.mapping_interval, 1),
+                ql2b=cfg.estimator.ql2b, tl2b=cfg.estimator.tl2b)
             pointcloud.write_pcd(os.path.join(out_dir, "map.pcd"),
                                  world, valid)
 
