@@ -25,6 +25,8 @@ residual is per-satellite NLOS/multipath scatter, not a smooth
 estimable delay, so a ZTD state would fit noise rather than physics.
 The Huber/epoch-gate robust treatment above is the correct model.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 
 import numpy as np

@@ -1,0 +1,80 @@
+"""Batch-stage benchmark: full-trajectory banded GN solve, TPU vs CPU.
+
+The reference re-solves ALL keyframes with Ceres every 10 new ones
+(4 outer stages × ≤100 LM iters, single CPU thread —
+Estimator.cpp:2764,3278). This measures our one-shot annealed solve
+(4 stages × 10 LM iters, exact block-banded Cholesky) over the full
+golden Whampoa trajectory (3493 keyframes) with the real DD epochs,
+on the accelerator and on the host CPU (same solver, subprocess).
+"""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
+import json
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+DATA = "/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/urbannavWhampoa"
+ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
+STATION = np.array([-2414266.9200, 5386768.9870, 2407460.0310])
+
+
+def run(device: str):
+    import jax
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    from glio_tpu.config import GlioConfig
+    from glio_tpu.data.episode import GnssEpochs
+    from glio_tpu.eval.trajectory import read_result_csv
+    from glio_tpu.gnss import converter
+    from glio_tpu.models import batch as B
+    from glio_tpu.utils import quat
+
+    cache = "/tmp/whampoa_gnss.npz"
+    if _os.path.exists(cache):
+        z = np.load(cache)
+        g = GnssEpochs(**{k: z[k] for k in z.files})
+    else:
+        g = converter.convert(
+            f"{DATA}/20210521.medium-urban.whampoa.ublox.m8t.GC.obs",
+            f"{DATA}/hksc141g.nav", station_ecef=STATION)
+    sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
+    q_odo = np.asarray(quat.from_ypr(jnp.asarray(np.deg2rad(sw.ypr_deg))))
+    cfg = GlioConfig()
+    prob = B.build_problem(cfg, sw.enu, q_odo, sw.time, g, ANCHOR, 0.0,
+                           STATION)
+    rob = B.RobustOpts(dd_huber=1.0, epoch_gate=2.0, rel_huber=5.0)
+    # Warm-up compile (one stage), then the timed full anneal.
+    B.optimize_batch(cfg, prob, thresholds=(1e9,), lm_iters=1, robust=rob)
+    t0 = time.time()
+    p, q, costs = B.optimize_batch(cfg, prob, lm_iters=10, robust=rob)
+    np.asarray(p)
+    return time.time() - t0, sw.enu.shape[0]
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--cpu-child":
+        dt, T = run("cpu")
+        print(f"CPU_S {dt}")
+        sys.exit(0)
+    dt_tpu, T = run("tpu")
+    cpu_s = None
+    try:
+        env = dict(_os.environ, JAX_PLATFORMS="cpu")
+        res = subprocess.run(
+            [sys.executable, _os.path.abspath(__file__), "--cpu-child"],
+            env=env, capture_output=True, text=True, timeout=3600)
+        for line in res.stdout.splitlines():
+            if line.startswith("CPU_S"):
+                cpu_s = float(line.split()[1])
+    except Exception:
+        pass
+    out = {"metric": "batch_full_trajectory_solve_s",
+           "keyframes": T, "tpu_s": round(dt_tpu, 2)}
+    if cpu_s is not None:
+        out["cpu_s"] = round(cpu_s, 2)
+        out["tpu_speedup"] = round(cpu_s / dt_tpu, 2)
+    print(json.dumps(out))

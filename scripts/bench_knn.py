@@ -1,4 +1,6 @@
 """Compare Pallas vs XLA kNN on TPU (in-graph loops)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import time
 
 import numpy as np

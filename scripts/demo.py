@@ -1,5 +1,7 @@
 """End-to-end demo: simulated GNSS/LiDAR/IMU episode → all three result
 CSVs (the full reference pipeline equivalent in one call)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import sys
 
 import numpy as np

@@ -6,6 +6,8 @@ Round 2: the fix source is the carrier-phase float Kalman filter
 statistics reported (``gnss/lambda_ar``); per-epoch code DD remains the
 comparison baseline. The GNSS epochs convert once and cache to /tmp.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os
 
 import numpy as np

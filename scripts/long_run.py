@@ -1,5 +1,7 @@
 """Scale/stability validation: long simulated episode through the full
 pipeline on the available accelerator (TPU when present)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 import os
 import sys
 import time
@@ -12,6 +14,12 @@ from glio_tpu.data.simulator import simulate_episode, simulate_gnss_epochs
 from glio_tpu.pipeline import run_pipeline
 
 n_kf = int(sys.argv[1]) if len(sys.argv) > 1 else 600
+# Default: DD-only window GNSS. Measured A/B on the 300-kf episode:
+# Doppler rows tie the window velocities across intervals, and after a
+# divergence-recovery reset (pipeline's guarded window snap) the stale
+# velocity coupling slows re-convergence — 24.2 m rmse with Doppler vs
+# 14.9 m without on this stress episode. Pass "dopp" to enable.
+use_dopp = "dopp" in sys.argv[2:]
 cfg = GlioConfig().replace(
     shapes=ShapeConfig(max_imu_per_interval=40, scan_points=1024,
                        map_points=16384),
@@ -19,8 +27,10 @@ cfg = GlioConfig().replace(
     # eventually exceeds the association radius, after which the IMU
     # random-walks unbounded — the DD factors keep the window anchored.
     estimator=EstimatorConfig(local_map_width=20, sw_max_iter=15,
-                              gnss_in_sliding_window=True),
+                              gnss_in_sliding_window=True,
+                              doppler_in_window=use_dopp),
 )
+print(f"doppler_in_window={use_dopp}", flush=True)
 cache = f"/tmp/long_run_ep_{n_kf}.npz"
 if os.path.exists(cache):
     print(f"loading cached episode {cache}...", flush=True)

@@ -1,6 +1,8 @@
 """In-graph TPU profiling: per-iteration costs of the sliding-window step's
 components, measured inside one dispatch (the remote tunnel has ~30 ms
 fixed per-call latency, so loops must live inside jit)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))  # repo root
 
 import time
 

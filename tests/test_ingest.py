@@ -256,3 +256,49 @@ def test_episode_from_pcd_dir(tmp_path):
                                       n_cols=360)
     assert ep2.num_keyframes >= 2
     assert ep2.scan_valid.any()
+
+
+def test_imu_decimation_preserves_interval_span(tmp_path):
+    """Intervals holding more IMU samples than the budget are decimated
+    (group-mean acc/gyr, group-sum dt) — never truncated: the preintegrated
+    delta must still cover the WHOLE interval (review r2 finding)."""
+    import jax.numpy as jnp
+    from glio_tpu.data.simulator import PlaneWorld, raycast_scan
+    from glio_tpu.utils import quat
+
+    # 1 Hz scans at 100 Hz IMU → ~100 samples per interval >> NI=24.
+    T = 4
+    ep = simulate_episode(n_keyframes=T, kf_dt=1.0, scan_points=256,
+                          seed=41, q_lb=(1, 0, 0, 0), t_lb=(0, 0, 0))
+    world = PlaneWorld(extent=max(200.0, np.abs(ep.gt_p).max() + 80.0),
+                       seed=41)
+    t0 = 2000.0
+    scan_msgs, imu_msgs = [], []
+    for i in range(T):
+        Rwb = np.asarray(quat.to_rotmat(jnp.asarray(ep.gt_q[i])))
+        img, iv = raycast_scan(world, ep.gt_p[i], Rwb, n_rings=16,
+                               n_cols=360,
+                               rng=np.random.default_rng(300 + i))
+        scan_msgs.append((t0 + ep.kf_time[i],
+                          serialize_pointcloud2(t0 + ep.kf_time[i],
+                                                img[iv])))
+    for i in range(1, T):
+        ts = t0 + ep.kf_time[i - 1] + np.cumsum(ep.imu_dt[i])
+        for j in range(int(ep.imu_valid[i].sum())):
+            imu_msgs.append((ts[j], serialize_imu(
+                ts[j], ep.imu_acc[i, j], ep.imu_gyr[i, j])))
+    imu_msgs.insert(0, (t0, serialize_imu(t0, ep.acc0, ep.gyr0)))
+    path = str(tmp_path / "dec.bag")
+    write_bag(path, scan_msgs, imu_msgs)
+    cfg = GlioConfig().replace(
+        shapes=ShapeConfig(max_imu_per_interval=24, scan_points=256,
+                           map_points=2048),
+        lidar_odometry=LidarOdometryConfig(line_num=16),
+    )
+    ep2 = ingest.episode_from_rosbag(path, cfg, n_cols=360)
+    spans = ep2.imu_dt.sum(axis=1)[1:]
+    gaps = np.diff(ep2.kf_time)
+    # Decimated runs must still span each interval exactly.
+    np.testing.assert_allclose(spans, gaps, atol=0.02)
+    assert ep2.imu_dt.shape[1] == 24
+    assert (ep2.imu_valid[1:].sum(axis=1) == 24).any()
