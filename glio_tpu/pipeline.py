@@ -408,7 +408,17 @@ def _finish_pipeline(ep, cfg, out_dir, run_batch, run_lc,
     if run_batch:
         prob = batch_mod.build_problem(
             cfg, p_sw, q_sw, res.kf_time, ep.gnss, anchor, yaw, station)
-        p_b, q_b, _ = batch_mod.optimize_batch(cfg, prob)
+        if cfg.estimator.sms_fusion_level == 1:
+            # Reference level-1 (Estimator.cpp:2990-3077): binary plane
+            # constraints + IMU chains over 15-dof states.
+            sms = batch_mod.build_sms1(cfg, ep.scan, ep.scan_valid,
+                                       p_sw, q_sw)
+            chain = batch_mod.build_imu_chain(
+                cfg, ep.imu_acc, ep.imu_gyr, ep.imu_dt, ep.imu_valid)
+            p_b, q_b, _, _, _, _ = batch_mod.optimize_batch_sms1_imu(
+                cfg, prob, sms, chain)
+        else:
+            p_b, q_b, _ = batch_mod.optimize_batch(cfg, prob)
         res.p_batch = np.asarray(p_b)
         res.q_batch = np.asarray(q_b)
         if out_dir:

@@ -217,3 +217,30 @@ def test_pipeline_save_pcd(tmp_path):
     pts = read_pcd(str(tmp_path / "map.pcd"))
     assert pts.shape[0] > 200
     assert np.isfinite(pts).all()
+
+
+def test_pipeline_sms_level1_batch(tmp_path):
+    """sms_fusion_level=1 routes the pipeline's batch stage through the
+    15-dof level-1 solver (binary planes + IMU chains),
+    Estimator.cpp:2990-3077 parity wiring."""
+    from glio_tpu.data.simulator import simulate_gnss_epochs
+    from glio_tpu.pipeline import run_pipeline
+
+    ep = simulate_episode(n_keyframes=10, scan_points=256, seed=37,
+                          q_lb=(1, 0, 0, 0), t_lb=(0, 0, 0))
+    cfg = GlioConfig().replace(
+        shapes=ShapeConfig(max_imu_per_interval=40, scan_points=256,
+                           map_points=2048),
+        estimator=EstimatorConfig(local_map_width=6, sw_max_iter=4,
+                                  sms_fusion_level=1, search_range=3,
+                                  ql2b=(1.0, 0, 0, 0), tl2b=(0, 0, 0)),
+    )
+    anchor = np.asarray(cfg.initialization.anc_ecef)
+    station = np.asarray(cfg.initialization.station_ecef)
+    ep.gnss = simulate_gnss_epochs(ep.gt_p, ep.kf_time, anchor, station,
+                                   psr_noise=0.5, epoch_stride=2, seed=37)
+    res = run_pipeline(ep, cfg, run_batch=True, run_lc=False)
+    assert res.p_batch is not None
+    assert np.isfinite(res.p_batch).all()
+    err = np.linalg.norm(res.p_batch - ep.gt_p, axis=-1)
+    assert err.max() < 5.0, err.max()

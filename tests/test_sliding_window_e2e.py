@@ -173,3 +173,43 @@ def test_doppler_in_window_improves_velocity():
     # (1e-3*c*1e-8 ≈ 3e-3 m/s) — same order, bounded error.
     ddt = np.asarray(out_d.ddt)
     assert np.all(np.abs(ddt[-8:] - 1e-3 * 299792458.0 * 1e-8) < 0.05)
+
+
+def test_checkpoint_resume_with_gnss_window(tmp_path):
+    """Checkpoint/resume bit-identity with the GNSS-in-window path: the
+    carry now holds the DD epoch ring AND the receiver-clock-drift ring
+    (WindowStateDdt solve) — both must round-trip through the
+    checkpoint."""
+    import jax
+    from glio_tpu.data.simulator import simulate_gnss_epochs
+    from glio_tpu.utils import checkpoint
+
+    cfg = CFG.replace(estimator=CFG.estimator.__class__(
+        local_map_width=8, sw_max_iter=8, gnss_in_sliding_window=True,
+        doppler_in_window=True))
+    ep = simulate_episode(n_keyframes=8, scan_points=512, seed=27)
+    anchor = np.asarray(cfg.initialization.anc_ecef)
+    station = np.asarray(cfg.initialization.station_ecef)
+    ep.gnss = simulate_gnss_epochs(ep.gt_p, ep.kf_time, anchor, station,
+                                   psr_noise=0.3, epoch_stride=1, seed=27)
+    replay, _ = make_replay(cfg)
+    inputs = ep.to_inputs()
+    full = replay(inputs, ep.p0, ep.q0, ep.v0, ep.acc0, ep.gyr0)
+
+    carry0 = replay.make_initial_carry(
+        jnp.asarray(ep.p0), jnp.asarray(ep.q0), jnp.asarray(ep.v0),
+        ep.acc0, ep.gyr0, inputs_template=inputs)
+    head = jax.tree.map(lambda a: a[:4], inputs)
+    tail = jax.tree.map(lambda a: a[4:], inputs)
+    carry1, out_head = replay.replay_from(carry0, head)
+    path = str(tmp_path / "carry_gnss.npz")
+    checkpoint.save_pytree(path, carry1)
+    carry1b = checkpoint.load_pytree(path, carry1)
+    _, out_tail = replay.replay_from(carry1b, tail)
+
+    np.testing.assert_array_equal(np.asarray(out_head.p),
+                                  np.asarray(full.p[:4]))
+    np.testing.assert_array_equal(np.asarray(out_tail.p),
+                                  np.asarray(full.p[4:]))
+    np.testing.assert_array_equal(np.asarray(out_tail.ddt),
+                                  np.asarray(full.ddt[4:]))
