@@ -487,3 +487,59 @@ class TestWindowBindingRealData:
         # Whitened, drift-removed Doppler rows at golden velocity:
         # sub-(m/s)/sigma scale.
         assert np.median(meds) < 3.0, np.median(meds)
+
+
+class TestTstMultiConstellation:
+    """Real TST (light-urban) sequence with GPS+GLONASS+BDS: the per-
+    constellation-clock WLS consumes all systems, and adding GLONASS
+    must not degrade the solution (parity with the reference's
+    4-constellation GNSS_Tools WLS, gnss_tools.h:588-870)."""
+
+    BASE = ("/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/"
+            "tst20210517")
+
+    @pytest.fixture(scope="class")
+    def tst_epochs(self):
+        from glio_tpu.gnss import converter
+        return converter.convert(
+            f"{self.BASE}/20210517.light-urban.tste.ublox.f9p.obs",
+            f"{self.BASE}/hksc137c.nav", station_ecef=STATION,
+            opts=converter.ConvertOptions(systems="GRC", max_epochs=50))
+
+    def test_spp_with_glonass(self, tst_epochs):
+        from glio_tpu.gnss import spp
+        from glio_tpu.gnss.rinex import SYS_GLO
+        g = tst_epochs
+        x0 = jnp.asarray(STATION)          # TST is ~km from the station
+        # All constellations.
+        pos_all, clk, ok_all, rms_all = spp.solve_epochs(
+            jnp.asarray(g.sat_pos), jnp.asarray(g.psr_rov_corr),
+            jnp.asarray(g.system), jnp.asarray(g.valid),
+            jnp.asarray(g.elevation), jnp.asarray(g.snr), x0)
+        # Without GLONASS.
+        v_ng = jnp.asarray(g.valid & (g.system != SYS_GLO))
+        pos_ng, _, ok_ng, rms_ng = spp.solve_epochs(
+            jnp.asarray(g.sat_pos), jnp.asarray(g.psr_rov_corr),
+            jnp.asarray(g.system), v_ng,
+            jnp.asarray(g.elevation), jnp.asarray(g.snr), x0)
+        ok_all = np.asarray(ok_all); ok_ng = np.asarray(ok_ng)
+        assert ok_all.sum() >= 45
+        # GLONASS satellites genuinely joined the solve (the receiver
+        # acquires R sats gradually over the first epochs).
+        n_glo = ((np.asarray(g.system) == SYS_GLO)
+                 & np.asarray(g.valid)).sum(1)
+        assert n_glo[ok_all].max() >= 3
+        assert (n_glo[ok_all] >= 1).mean() > 0.9
+        # Solutions agree (GLONASS adds, not breaks: no frame/clock bug).
+        both = ok_all & ok_ng
+        d = np.linalg.norm(np.asarray(pos_all)[both]
+                           - np.asarray(pos_ng)[both], axis=-1)
+        assert np.median(d) < 15.0, np.median(d)
+        # GLONASS clock unknown is resolved (slot 1 non-zero when used).
+        clk = np.asarray(clk)
+        assert np.abs(clk[ok_all][:, 1]).max() > 1.0
+        # Fixes land near the TST area (~22.293N 114.172E).
+        llh = np.asarray(C.ecef2llh(jnp.asarray(pos_all)))[ok_all]
+        lat = np.rad2deg(llh[:, 0]); lon = np.rad2deg(llh[:, 1])
+        assert np.all(np.abs(lat - 22.293) < 0.02), lat[:3]
+        assert np.all(np.abs(lon - 114.172) < 0.02), lon[:3]
