@@ -335,6 +335,48 @@ def _dd_residuals(p, prob: BatchProblem, threshold, w_dd=None):
     return rows
 
 
+def _dd_row_jac(p, R_el, prob: BatchProblem, threshold, left, ratio,
+                valid, sat_pos, psr_rov, psr_sta, sv_valid, system,
+                master, whiten, w):
+    """One epoch's whitened DD rows + ANALYTIC Jacobian w.r.t. p_local.
+
+    Matches ``dd_mod.dd_residual`` exactly (mask → ×0.05 anneal →
+    whiten); the row derivative is (los_master − los_i) through
+    R_ecef_local — dd_psr_factor.hpp:104-150's hand-coded Jacobian,
+    vectorized. Returns (res (n_sys·M,), JP (n_sys·M, 3))."""
+    p_i = p[left]
+    p_j = p[left + 1]
+    p_local = ratio * p_i + (1.0 - ratio) * p_j
+    P = R_el @ p_local + prob.anchor_ecef
+    d = sat_pos - P
+    rho_u = jnp.maximum(jnp.linalg.norm(d, axis=-1), 1.0)
+    los = d / rho_u[:, None]                                  # (M, 3)
+    rho_r = jnp.linalg.norm(sat_pos - prob.station_ecef, axis=-1)
+    sd_est = rho_u - rho_r
+    sd_meas = psr_rov - psr_sta
+    M = sat_pos.shape[0]
+    idx = jnp.arange(M)
+    res_parts, jac_parts = [], []
+    for s in range(master.shape[0]):
+        mp = master[s]
+        has = mp >= 0
+        mp_s = jnp.maximum(mp, 0)
+        dd = (sd_est - sd_est[mp_s]) - (sd_meas - sd_meas[mp_s])
+        m = sv_valid & (system == s) & (idx != mp_s) & has
+        r = jnp.where(m, dd, 0.0)
+        wth = jnp.where(jnp.abs(r) > threshold, 0.05, 1.0)
+        r = r * wth
+        JrowP = (los[mp_s][None, :] - los) * (m * wth)[:, None]
+        res_parts.append(whiten[s] @ r)
+        jac_parts.append(whiten[s] @ JrowP)
+    res = jnp.concatenate(res_parts)
+    JP_ecef = jnp.concatenate(jac_parts, axis=0)
+    wf = w.reshape(-1)
+    res = jnp.where(valid, res * wf, 0.0)
+    JP = jnp.where(valid, (JP_ecef * wf[:, None]) @ R_el, 0.0)
+    return res, JP
+
+
 def _retract(p, q, dx):
     d = dx.reshape(p.shape[0], POSE_DOF)
     return p + d[:, :3], quat.normalize(quat.mul(q, quat.exp(d[:, 3:6])))
@@ -409,24 +451,24 @@ def _assemble(p, q, prob: BatchProblem, threshold, hw: int,
         grad = grad.at[i_idx].add(gi).at[j_idx].add(gj)
 
     # --- DD factors: couple (k, k+1), position only ---
-    def dd_fn(di, dj, left, ratio, valid, sat_pos, psr_rov, psr_sta,
-              sv_valid, system, master, whiten, p_i, p_j, w):
-        p_local = ratio * (p_i + di[:3]) + (1.0 - ratio) * (p_j + dj[:3])
-        p_ecef = local_to_ecef(p_local, prob.anchor_ecef, prob.yaw_enu_local)
-        r_ = dd_mod.dd_residual(
-            p_ecef, sat_pos, psr_rov, psr_sta, prob.station_ecef,
-            sv_valid, system, master, whiten, threshold)
-        return (jnp.where(valid, r_, 0.0) * w).reshape(-1)
-
-    zero = jnp.zeros(POSE_DOF, F64)
-    p_i = p[prob.ep_left]
-    p_j = p[prob.ep_left + 1]
-    res, (Ji, Jj) = jax.vmap(
-        lambda *a: (dd_fn(zero, zero, *a),
-                    jax.jacfwd(dd_fn, argnums=(0, 1))(zero, zero, *a)))(
+    # ANALYTIC Jacobians (like the reference's hand-coded
+    # dd_psr_factor_20::Evaluate, dd_psr_factor.hpp:25-171): the DD row
+    # derivative is just the whitened LOS-difference through R_ecef_local
+    # and the interpolation ratio. jacfwd here would re-run the (4, M, M)
+    # f64 whitening matmul for every one of 12 tangents per epoch — the
+    # dominant cost of the whole batch stage on TPU (emulated f64).
+    R_el = r_ecef_local(prob.anchor_ecef, prob.yaw_enu_local)   # (3,3)
+    res, JP = jax.vmap(
+        lambda *a: _dd_row_jac(p, R_el, prob, threshold, *a))(
         prob.ep_left, prob.ep_ratio, prob.ep_valid, prob.sat_pos,
         prob.psr_rov, prob.psr_sta, prob.sv_valid, prob.system,
-        prob.master, prob.whiten, p_i, p_j, w_dd)
+        prob.master, prob.whiten, w_dd)
+    # ∂p_local/∂p_i = ratio·I, ∂/∂p_j = (1−ratio)·I; pad to 6-dof blocks.
+    nrow = res.shape[1]
+    Ji = jnp.zeros((res.shape[0], nrow, POSE_DOF), F64)
+    Ji = Ji.at[:, :, :3].set(JP * prob.ep_ratio[:, None, None])
+    Jj = jnp.zeros((res.shape[0], nrow, POSE_DOF), F64)
+    Jj = Jj.at[:, :, :3].set(JP * (1.0 - prob.ep_ratio)[:, None, None])
 
     k_idx = prob.ep_left
     k1_idx = prob.ep_left + 1
@@ -517,6 +559,11 @@ def solve_batch_once(cfg: GlioConfig, prob: BatchProblem, p0, q0,
         band2 = band.at[:, hw].set(damped)
         if solver == "direct":
             dx = banded.direct_solve(band2, -grad)
+        elif solver == "chol_pcg":
+            # f32-factor-preconditioned CG: ~10x the exact f64
+            # factorization on TPU at ~1e-5 step accuracy (the emulated
+            # f64 sequential Cholesky dominates the batch stage there).
+            dx = banded.pcg_chol_solve(band2, -grad)
         else:
             dx, _ = banded.pcg_solve(band2, -grad, iters=pcg_iters)
         p_new, q_new = _retract(p, q, dx.reshape(-1))
@@ -882,6 +929,8 @@ def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
             band2 = band.at[:, hw].set(damped)
             if solver == "direct":
                 dx = banded.direct_solve(band2, -grad)
+            elif solver == "chol_pcg":
+                dx = banded.pcg_chol_solve(band2, -grad)
             else:
                 dx, _ = banded.pcg_solve(band2, -grad, iters=200)
             p_new, q_new = _retract(p, q, dx.reshape(-1))
@@ -1074,6 +1123,8 @@ def optimize_batch_sms1_imu(cfg: GlioConfig, prob: BatchProblem,
             band2 = band.at[:, hw].set(damped)
             if solver == "direct":
                 dx = banded.direct_solve(band2, -grad)
+            elif solver == "chol_pcg":
+                dx = banded.pcg_chol_solve(band2, -grad)
             else:
                 dx, _ = banded.pcg_solve(band2, -grad, iters=200)
             p_new, q_new, v_new, ba_new, bg_new = _retract15(

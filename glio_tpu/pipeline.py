@@ -145,7 +145,7 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
                                    fusion_span)
         prob = batch_mod.build_problem(cfg, pw, qw, tw, gsub,
                                        anchor, yaw, station)
-        pc, qc, _ = batch_mod.optimize_batch(cfg, prob)
+        pc, qc, _ = batch_mod.optimize_batch(cfg, prob, solver=cfg.estimator.batch_solver)
         p_hist[s0:t] = np.asarray(pc)[:n]
         q_hist[s0:t] = np.asarray(qc)[:n]
         # Correct the map ring for frames that already left the window
@@ -246,7 +246,7 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
                                        fusion_span)
             prob = batch_mod.build_problem(cfg, pw, qw, tw, gsub,
                                            anchor, yaw, station)
-            pc, qc, _ = batch_mod.optimize_batch(cfg, prob)
+            pc, qc, _ = batch_mod.optimize_batch(cfg, prob, solver=cfg.estimator.batch_solver)
             p_hist[s0:t] = np.asarray(pc)[:n]
             q_hist[s0:t] = np.asarray(qc)[:n]
     return p_hist, q_hist
@@ -418,7 +418,7 @@ def _finish_pipeline(ep, cfg, out_dir, run_batch, run_lc,
             p_b, q_b, _, _, _, _ = batch_mod.optimize_batch_sms1_imu(
                 cfg, prob, sms, chain)
         else:
-            p_b, q_b, _ = batch_mod.optimize_batch(cfg, prob)
+            p_b, q_b, _ = batch_mod.optimize_batch(cfg, prob, solver=cfg.estimator.batch_solver)
         res.p_batch = np.asarray(p_b)
         res.q_batch = np.asarray(q_b)
         if out_dir:

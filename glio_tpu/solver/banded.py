@@ -212,6 +212,116 @@ def direct_solve(band, b, jitter: float = 1e-12):
     return block_cholesky_solve(Lb, b)
 
 
+def _equilibrate(band):
+    """Symmetric Jacobi scaling: returns (band_scaled, s) with
+    band_s[t,o,i,j] = band[t,o,i,j]·s[t,i]·s[t+o−hw,j], s = diag^(−1/2).
+
+    Kills the 1e8-scale spread between attitude (w=10000 factors) and
+    translation blocks so an f32 factorization stays well-conditioned."""
+    T, B, D, _ = band.shape
+    hw = (B - 1) // 2
+    diag = jnp.diagonal(band[:, hw], axis1=-2, axis2=-1)       # (T, D)
+    s = 1.0 / jnp.sqrt(jnp.maximum(diag, 1e-12))
+    idx = jnp.arange(T)
+    cols = []
+    for o in range(B):
+        shift = o - hw
+        sc = jnp.roll(s, -shift, axis=0)
+        ok = (idx + shift >= 0) & (idx + shift < T)
+        cols.append(jnp.where(ok[:, None], sc, 0.0))
+    S_col = jnp.stack(cols, axis=1)                            # (T, B, D)
+    return band * s[:, None, :, None] * S_col[:, :, None, :], s
+
+
+def _f32_chol_precond(band, jitter: float = 3e-4):
+    """Equilibrated f32 block-banded Cholesky preconditioner.
+
+    Returns (apply(r) → M⁻¹r in f64, scale s). Rows whose f32 Schur
+    complement breaks down (observed on TPU at the chain's end) fall
+    back to the unit diagonal — M stays SPD; the consumer (PCG /
+    refinement) works against the exact f64 band."""
+    band_s, s = _equilibrate(band)
+    Lb = block_cholesky(band_s.astype(jnp.float32), jitter=jitter)
+    bad = ~jnp.isfinite(Lb).all(axis=(1, 2, 3))
+    eye_row = jnp.zeros_like(Lb[0]).at[0].set(
+        jnp.eye(Lb.shape[-1], dtype=Lb.dtype))
+    Lb = jnp.where(bad[:, None, None, None], eye_row[None], Lb)
+
+    def apply(r):
+        y = block_cholesky_solve(Lb, (r * s).astype(jnp.float32))
+        return y.astype(band.dtype) * s
+
+    return apply
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def pcg_chol_solve(band, b, iters: int = 14, jitter: float = 3e-4):
+    """CG on the exact f64 band, preconditioned by the f32 banded
+    Cholesky factor.
+
+    The f64 sequential factorization dominates the batch stage on TPU
+    (emulated f64: 4.3 s at T=2048); a pure-f32 factor + stationary
+    refinement DIVERGES on long stiff chains (factor error O(1) after
+    thousands of cancelling Schur steps). Krylov iteration tolerates the
+    imperfect factor: ~10 iterations recover ~1e-6 step accuracy at
+    ~10× the speed of the exact factorization."""
+    apply_M = _f32_chol_precond(band, jitter)
+    x0 = jnp.zeros_like(b)
+    r0 = b - band_matvec(band, x0)
+    z0 = apply_M(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def step(carry, _):
+        x, r, p, rz = carry
+        Ap = band_matvec(band, p)
+        pAp = jnp.sum(p * Ap)
+        alpha = jnp.where(pAp > 0, rz / jnp.maximum(pAp, 1e-300), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = apply_M(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-300), 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new), None
+
+    (x, r, _, _), _ = jax.lax.scan(step, (x0, r0, p0, rz0), None,
+                                   length=iters)
+    return x
+
+
+@partial(jax.jit, static_argnames=("refine",))
+def direct_solve_mixed(band, b, refine: int = 2, jitter: float = 3e-4):
+    """Banded solve with an f32 factorization + f64 iterative refinement.
+
+    The exact block-banded Cholesky is a T-step sequential scan of tiny
+    6×6 ops; in emulated f64 on TPU it dominates the whole batch stage
+    (measured 4.3 s per solve at T=2048). Equilibrate → factor once in
+    f32 (native) → refine the f64 residual through the same factor.
+    Step accuracy reaches ~1e-6 relative in 2 refinements for LM-damped
+    systems; the LM accept/reject re-evaluates the true cost anyway.
+    The jitter (on the equilibrated unit diagonal) is deliberately fat:
+    the LAST block row's f32 Schur complement can go indefinite on TPU
+    (accumulation-order dependent — observed at T=2048); the refinement
+    sweeps remove the resulting bias from the returned step."""
+    band_s, s = _equilibrate(band)
+    Lb = block_cholesky(band_s.astype(jnp.float32), jitter=jitter)
+    # Guard: any non-finite factor row (f32 breakdown despite the jitter)
+    # falls back to its (unit-scaled) diagonal — keeps the solve finite;
+    # refinement against the exact f64 band corrects the step.
+    bad = ~jnp.isfinite(Lb).all(axis=(1, 2, 3))
+    eye_row = jnp.zeros_like(Lb[0]).at[0].set(
+        jnp.eye(Lb.shape[-1], dtype=Lb.dtype))
+    Lb = jnp.where(bad[:, None, None, None], eye_row[None], Lb)
+    y = block_cholesky_solve(Lb, (b * s).astype(jnp.float32))
+    x = y.astype(band.dtype) * s
+    for _ in range(refine):
+        r = b - band_matvec(band, x)
+        dy = block_cholesky_solve(Lb, (r * s).astype(jnp.float32))
+        x = x + dy.astype(band.dtype) * s
+    return x
+
+
 def woodbury_solve(band, b, J_extra, r_extra, jitter: float = 1e-12):
     """Solve (H_band + J_extraᵀ J_extra) x = b − J_extraᵀ r_extra.
 

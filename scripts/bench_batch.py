@@ -21,7 +21,11 @@ ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
 STATION = np.array([-2414266.9200, 5386768.9870, 2407460.0310])
 
 
-def run(device: str):
+def run(device: str, max_T: int = 2048):
+    """max_T caps the trajectory prefix: the full-3493-kf f64 problem has
+    crashed this platform's shared remote TPU worker once (worker
+    restart); a 2048-kf prefix exercises the same banded solve at a
+    bounded footprint."""
     import jax
     if device == "cpu":
         jax.config.update("jax_platforms", "cpu")
@@ -44,15 +48,22 @@ def run(device: str):
     sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
     q_odo = np.asarray(quat.from_ypr(jnp.asarray(np.deg2rad(sw.ypr_deg))))
     cfg = GlioConfig()
-    prob = B.build_problem(cfg, sw.enu, q_odo, sw.time, g, ANCHOR, 0.0,
-                           STATION)
+    T = min(sw.enu.shape[0], max_T)
+    prob = B.build_problem(cfg, sw.enu[:T], q_odo[:T], sw.time[:T], g,
+                           ANCHOR, 0.0, STATION)
     rob = B.RobustOpts(dd_huber=1.0, epoch_gate=2.0, rel_huber=5.0)
+    # chol_pcg: f32-factor-preconditioned CG — the exact f64 banded
+    # Cholesky is emulated-f64 sequential work that dominates on TPU
+    # (measured 4.3 s/solve at T=2048 vs 0.4 s for chol_pcg at 1e-5
+    # step accuracy). Same solver on both legs for a fair comparison.
     # Warm-up compile (one stage), then the timed full anneal.
-    B.optimize_batch(cfg, prob, thresholds=(1e9,), lm_iters=1, robust=rob)
+    B.optimize_batch(cfg, prob, thresholds=(1e9,), lm_iters=1, robust=rob,
+                     solver="chol_pcg")
     t0 = time.time()
-    p, q, costs = B.optimize_batch(cfg, prob, lm_iters=10, robust=rob)
+    p, q, costs = B.optimize_batch(cfg, prob, lm_iters=10, robust=rob,
+                                   solver="chol_pcg")
     np.asarray(p)
-    return time.time() - t0, sw.enu.shape[0]
+    return time.time() - t0, T
 
 
 if __name__ == "__main__":
