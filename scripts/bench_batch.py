@@ -56,8 +56,10 @@ def run(device: str, max_T: int = 2048):
     # Cholesky is emulated-f64 sequential work that dominates on TPU
     # (measured 4.3 s/solve at T=2048 vs 0.4 s for chol_pcg at 1e-5
     # step accuracy). Same solver on both legs for a fair comparison.
-    # Warm-up compile (one stage), then the timed full anneal.
-    B.optimize_batch(cfg, prob, thresholds=(1e9,), lm_iters=1, robust=rob,
+    # Warm-up compile with the SAME static lm_iters (a different count
+    # would leave the timed run paying a fresh XLA compile of the
+    # 10-iteration scan — minutes on the remote TPU compiler).
+    B.optimize_batch(cfg, prob, thresholds=(1e9,), lm_iters=10, robust=rob,
                      solver="chol_pcg")
     t0 = time.time()
     p, q, costs = B.optimize_batch(cfg, prob, lm_iters=10, robust=rob,

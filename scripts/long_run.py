@@ -28,7 +28,8 @@ cfg = GlioConfig().replace(
     # random-walks unbounded — the DD factors keep the window anchored.
     estimator=EstimatorConfig(local_map_width=20, sw_max_iter=15,
                               gnss_in_sliding_window=True,
-                              doppler_in_window=use_dopp),
+                              doppler_in_window=use_dopp,
+                              batch_solver="chol_pcg"),
 )
 print(f"doppler_in_window={use_dopp}", flush=True)
 cache = f"/tmp/long_run_ep_{n_kf}.npz"
