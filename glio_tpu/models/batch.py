@@ -558,7 +558,7 @@ def solve_batch_once(cfg: GlioConfig, prob: BatchProblem, p0, q0,
             * jnp.eye(D, dtype=F64))
         band2 = band.at[:, hw].set(damped)
         if solver == "direct":
-            dx = banded.direct_solve(band2, -grad)
+            dx = banded.cyclic_reduction_solve(band2, -grad)
         elif solver == "chol_pcg":
             # f32-factor-preconditioned CG: ~10x the exact f64
             # factorization on TPU at ~1e-5 step accuracy (the emulated
@@ -928,7 +928,7 @@ def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
                     1.0)[..., None, :] * jnp.eye(POSE_DOF, dtype=F64))
             band2 = band.at[:, hw].set(damped)
             if solver == "direct":
-                dx = banded.direct_solve(band2, -grad)
+                dx = banded.cyclic_reduction_solve(band2, -grad)
             elif solver == "chol_pcg":
                 dx = banded.pcg_chol_solve(band2, -grad)
             else:
@@ -1122,7 +1122,7 @@ def optimize_batch_sms1_imu(cfg: GlioConfig, prob: BatchProblem,
                     1.0)[..., None, :] * jnp.eye(STATE15, dtype=F64))
             band2 = band.at[:, hw].set(damped)
             if solver == "direct":
-                dx = banded.direct_solve(band2, -grad)
+                dx = banded.cyclic_reduction_solve(band2, -grad)
             elif solver == "chol_pcg":
                 dx = banded.pcg_chol_solve(band2, -grad)
             else:

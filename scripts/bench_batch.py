@@ -52,18 +52,15 @@ def run(device: str, max_T: int = 2048):
     prob = B.build_problem(cfg, sw.enu[:T], q_odo[:T], sw.time[:T], g,
                            ANCHOR, 0.0, STATION)
     rob = B.RobustOpts(dd_huber=1.0, epoch_gate=2.0, rel_huber=5.0)
-    # chol_pcg: f32-factor-preconditioned CG — the exact f64 banded
-    # Cholesky is emulated-f64 sequential work that dominates on TPU
-    # (measured 4.3 s/solve at T=2048 vs 0.4 s for chol_pcg at 1e-5
-    # step accuracy). Same solver on both legs for a fair comparison.
+    # "direct" = exact f64 block cyclic reduction (log-depth batched
+    # elimination): 0.24 s/solve on TPU at T=2048 vs 4.3 s for the
+    # sequential banded Cholesky it replaced, bit-comparable accuracy.
     # Warm-up compile with the SAME static lm_iters (a different count
     # would leave the timed run paying a fresh XLA compile of the
     # 10-iteration scan — minutes on the remote TPU compiler).
-    B.optimize_batch(cfg, prob, thresholds=(1e9,), lm_iters=10, robust=rob,
-                     solver="chol_pcg")
+    B.optimize_batch(cfg, prob, thresholds=(1e9,), lm_iters=10, robust=rob)
     t0 = time.time()
-    p, q, costs = B.optimize_batch(cfg, prob, lm_iters=10, robust=rob,
-                                   solver="chol_pcg")
+    p, q, costs = B.optimize_batch(cfg, prob, lm_iters=10, robust=rob)
     np.asarray(p)
     return time.time() - t0, T
 
