@@ -175,7 +175,11 @@ def solve(prob: LcProblem, p0, q0, gn_iters: int = 8,
             lam * jnp.eye(DOF, dtype=F64)
             * jnp.maximum(jnp.diagonal(diag, axis1=-2, axis2=-1),
                           1.0)[..., :, None])
-        dx, _ = banded.pcg_solve(band2, -grad, iters=pcg_iters)
+        # Exact log-depth cyclic reduction: the chain (hw=1) IS a block-
+        # tridiagonal system — CR's native case. Replaces block-Jacobi
+        # PCG, whose long-wavelength modes needed O(T) iterations on the
+        # stiff odometry chain.
+        dx = banded.cyclic_reduction_solve(band2, -grad)
         d = dx.reshape(-1, DOF)
         p_new = p + d[:, :3]
         q_new = quat.normalize(quat.mul(q, quat.exp(d[:, 3:6])))

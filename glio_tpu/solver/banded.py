@@ -6,16 +6,19 @@ equations have a banded block structure: every factor couples poses at
 most ``search_range``(=6) apart, plus per-epoch GNSS blocks bound to
 consecutive poses (SURVEY.md §5 "long-context" analogue).
 
-On TPU a sequential banded Cholesky would serialize ~3500 tiny steps; we
-instead solve with **preconditioned conjugate gradients**:
+Solver hierarchy (all exact or iteratively refined, chosen per context):
 
-* the banded matvec is a sum over 2·hw+1 block diagonals — each term is a
-  batched (T, D, D)×(T, D) matmul, fully parallel on the MXU;
-* block-Jacobi preconditioning (batched D×D Cholesky solves);
-* everything is a fixed-iteration ``lax.scan`` — one XLA program.
-
-The same matvec shards cleanly along time over a device mesh with halo
-exchange of hw poses (see glio_tpu.parallel.banded_pcg).
+* ``cyclic_reduction_solve`` — the default DIRECT solver: the SPD
+  elimination restructured into log2(T) levels of batched super-block
+  ops (a sequential banded Cholesky serializes T tiny steps — 18× slower
+  on TPU in emulated f64, measured at T=2048);
+* ``block_cholesky``/``direct_solve`` — the sequential factorization:
+  kept for validation, for Woodbury (reusable factor), and as the f32
+  preconditioner of ``pcg_chol_solve``;
+* ``pcg_solve`` — block-Jacobi preconditioned CG: the MULTI-CHIP path
+  (its banded matvec shards along time over a device mesh with ppermute
+  halo exchange — glio_tpu.parallel.banded_pcg); needs O(T) iterations
+  on stiff chains, so single-chip paths prefer the direct solvers.
 """
 
 from functools import partial
