@@ -408,33 +408,54 @@ def _assemble(p, q, prob: BatchProblem, threshold, hw: int,
                         + prob.sv_valid.shape[1:], F64)
 
     # --- relative factors: couple (i, i+r+1) ---
+    # ANALYTIC Jacobians (quaternion left/right multiplication matrices):
+    # with the right-retraction q ⊞ δ = q ⊗ exp(δ),
+    #   e_q(δi, δj) = vec(Δq̄⁻¹ ⊗ exp(−δi) ⊗ qi⁻¹qj ⊗ exp(δj))
+    #     → ∂e_q/∂δθj = ½·Qleft(Δq̄⁻¹ ⊗ Q)[1:,1:],
+    #       ∂e_q/∂δθi = −½·(Qleft(Δq̄⁻¹)·Qright(Q))[1:,1:], Q = qi⁻¹qj;
+    #   e_p = Riᵀ(pj−pi) − Δp̄ → ∂/∂pi = −Riᵀ, ∂/∂pj = Riᵀ,
+    #       ∂/∂δθi = [Riᵀ(pj−pi)]× (from R(qi exp δ)ᵀ ≈ (I−[δ]×)Riᵀ).
+    # Replaces a 12-tangent jacfwd per pair — with the DD analytic rows
+    # this removes every autodiff pass from the level-0 batch assembly.
+    def _hat_b(v):
+        z = jnp.zeros_like(v[..., 0])
+        return jnp.stack([
+            jnp.stack([z, -v[..., 2], v[..., 1]], -1),
+            jnp.stack([v[..., 2], z, -v[..., 0]], -1),
+            jnp.stack([-v[..., 1], v[..., 0], z], -1)], -2)
+
     R = prob.rel_valid.shape[1]
     for r in range(R):
         roll = r + 1
         pi, qi = p, q
         pj = jnp.roll(p, -roll, axis=0)
         qj = jnp.roll(q, -roll, axis=0)
+        dqm = prob.rel_dq[:, r]
+        dpm = prob.rel_dp[:, r]
+        mw = (prob.rel_valid[:, r] * w_rel[:, r]).astype(F64)
 
-        def res_fn(di, dj, pi, qi, pj, qj, dq_meas, dp_meas, m, w):
-            qi2 = quat.mul(qi, quat.exp(di[3:6]))
-            qj2 = quat.mul(qj, quat.exp(dj[3:6]))
-            pi2 = pi + di[:3]
-            pj2 = pj + dj[:3]
-            err_q = quat.mul(quat.conj(dq_meas),
-                             quat.mul(quat.conj(qi2), qj2))[1:]
-            err_p = quat.rotate(quat.conj(qi2), pj2 - pi2) - dp_meas
-            r_ = jnp.concatenate(
-                [W_ATT * err_q, W_REL_Q * 2.0 * err_q, W_REL_P * err_p])
-            return jnp.where(m, w * r_, 0.0)
+        M = quat.conj(dqm)
+        Q = quat.mul(quat.conj(qi), qj)
+        MQ = quat.mul(M, Q)
+        RiT = quat.to_rotmat(quat.conj(qi))                 # (T, 3, 3)
+        Rd = jnp.einsum("tij,tj->ti", RiT, pj - pi)
+        res = jnp.concatenate(
+            [W_ATT * MQ[:, 1:], W_REL_Q * 2.0 * MQ[:, 1:],
+             W_REL_P * (Rd - dpm)], -1) * mw[:, None]
 
-        zero = jnp.zeros(POSE_DOF, F64)
-        res, (Ji, Jj) = jax.vmap(
-            lambda pi, qi, pj, qj, dqm, dpm, m, w: (
-                res_fn(zero, zero, pi, qi, pj, qj, dqm, dpm, m, w),
-                jax.jacfwd(res_fn, argnums=(0, 1))(
-                    zero, zero, pi, qi, pj, qj, dqm, dpm, m, w)))(
-            pi, qi, pj, qj, prob.rel_dq[:, r], prob.rel_dp[:, r],
-            prob.rel_valid[:, r], w_rel[:, r])
+        JqjR = 0.5 * quat.qleft(MQ)[:, 1:, 1:]
+        JqiR = -0.5 * jnp.matmul(quat.qleft(M), quat.qright(Q))[:, 1:, 1:]
+        Ji = jnp.zeros((T, 9, POSE_DOF), F64)
+        Ji = Ji.at[:, 0:3, 3:6].set(W_ATT * JqiR)
+        Ji = Ji.at[:, 3:6, 3:6].set(W_REL_Q * 2.0 * JqiR)
+        Ji = Ji.at[:, 6:9, 0:3].set(-W_REL_P * RiT)
+        Ji = Ji.at[:, 6:9, 3:6].set(W_REL_P * _hat_b(Rd))
+        Jj = jnp.zeros((T, 9, POSE_DOF), F64)
+        Jj = Jj.at[:, 0:3, 3:6].set(W_ATT * JqjR)
+        Jj = Jj.at[:, 3:6, 3:6].set(W_REL_Q * 2.0 * JqjR)
+        Jj = Jj.at[:, 6:9, 0:3].set(W_REL_P * RiT)
+        Ji = Ji * mw[:, None, None]
+        Jj = Jj * mw[:, None, None]
 
         i_idx = jnp.arange(T, dtype=jnp.int32)
         j_idx = jnp.minimum(i_idx + roll, T - 1)  # invalid rows masked to 0

@@ -274,3 +274,39 @@ def test_batch_direct_vs_chol_pcg_agree(problem):
     p2, _, _ = B.optimize_batch(cfg, prob, thresholds=(1e9, 10.0),
                                 lm_iters=5, solver="chol_pcg")
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=5e-2)
+
+
+def test_assembly_gradient_matches_autodiff():
+    """The analytic DD + relative-factor Jacobians in _assemble must
+    reproduce jax.grad of the total cost through the retraction (guards
+    the hand-derived quaternion/LOS Jacobians against drift)."""
+    import jax
+    from glio_tpu.data.simulator import simulate_gnss_epochs
+    rng = np.random.default_rng(4)
+    T = 40
+    kf_time = np.arange(T) / 3.0
+    th = np.linspace(0, 2, T)
+    p_true = np.stack([30 * th, 10 * np.sin(th), 0.3 * th], -1)
+    ypr = np.stack([0.2 * np.sin(th), 0 * th, 0.05 * np.cos(th)], -1)
+    q_true = np.asarray(quat.from_ypr(jnp.asarray(ypr)))
+    gnss = simulate_gnss_epochs(p_true, kf_time, ANCHOR, STATION,
+                                psr_noise=0.5, seed=4)
+    cfg = GlioConfig()
+    p_odo = p_true + 0.7 * rng.normal(size=p_true.shape)
+    prob = B.build_problem(cfg, p_odo, q_true, kf_time, gnss,
+                           ANCHOR, 0.0, STATION)
+    hw = cfg.estimator.search_range + 1
+    p0 = jnp.asarray(p_odo)
+    q0 = jnp.asarray(q_true)
+    th_ = jnp.asarray(5.0)
+    band, grad = B._assemble(p0, q0, prob, th_, hw)
+
+    def cost(dx):
+        pp, qq = B._retract(p0, q0, dx)
+        return B._total_cost(pp, qq, prob, th_)
+
+    g_ad = np.asarray(jax.grad(cost)(jnp.zeros(T * 6)))
+    g_as = np.asarray(grad).reshape(-1)
+    rel = np.abs(g_as - g_ad).max() / max(np.abs(g_ad).max(), 1e-9)
+    # Round-off scale: residual weights reach W_ATT=1e4 → squared 1e8.
+    assert rel < 1e-7, rel
