@@ -14,11 +14,14 @@ from glio_tpu.data.simulator import simulate_episode, simulate_gnss_epochs
 from glio_tpu.pipeline import run_pipeline
 
 n_kf = int(sys.argv[1]) if len(sys.argv) > 1 else 600
-# Default: DD-only window GNSS. Measured A/B on the 300-kf episode:
-# Doppler rows tie the window velocities across intervals, and after a
-# divergence-recovery reset (pipeline's guarded window snap) the stale
-# velocity coupling slows re-convergence — 24.2 m rmse with Doppler vs
-# 14.9 m without on this stress episode. Pass "dopp" to enable.
+# Default: DD-only window GNSS. Measured A/B on the 300-kf stress
+# episode: 24.2 m rmse with Doppler vs 14.9 m without. A controlled
+# 100-kf run WITHOUT backend fusion shows both configs equally
+# divergence-dominated (±5%), so this is regime sensitivity — in
+# recovery-transient-dominated missions the extra Doppler rows shift
+# the divergence/recovery dynamics rather than systematically helping;
+# on short well-tracked windows they measurably improve velocity
+# (tests/test_sliding_window_e2e.py). Pass "dopp" to enable.
 use_dopp = "dopp" in sys.argv[2:]
 cfg = GlioConfig().replace(
     shapes=ShapeConfig(max_imu_per_interval=40, scan_points=1024,
