@@ -293,38 +293,6 @@ def pcg_chol_solve(band, b, iters: int = 14, jitter: float = 3e-4):
     return x
 
 
-@partial(jax.jit, static_argnames=("refine",))
-def direct_solve_mixed(band, b, refine: int = 2, jitter: float = 3e-4):
-    """Banded solve with an f32 factorization + f64 iterative refinement.
-
-    The exact block-banded Cholesky is a T-step sequential scan of tiny
-    6×6 ops; in emulated f64 on TPU it dominates the whole batch stage
-    (measured 4.3 s per solve at T=2048). Equilibrate → factor once in
-    f32 (native) → refine the f64 residual through the same factor.
-    Step accuracy reaches ~1e-6 relative in 2 refinements for LM-damped
-    systems; the LM accept/reject re-evaluates the true cost anyway.
-    The jitter (on the equilibrated unit diagonal) is deliberately fat:
-    the LAST block row's f32 Schur complement can go indefinite on TPU
-    (accumulation-order dependent — observed at T=2048); the refinement
-    sweeps remove the resulting bias from the returned step."""
-    band_s, s = _equilibrate(band)
-    Lb = block_cholesky(band_s.astype(jnp.float32), jitter=jitter)
-    # Guard: any non-finite factor row (f32 breakdown despite the jitter)
-    # falls back to its (unit-scaled) diagonal — keeps the solve finite;
-    # refinement against the exact f64 band corrects the step.
-    bad = ~jnp.isfinite(Lb).all(axis=(1, 2, 3))
-    eye_row = jnp.zeros_like(Lb[0]).at[0].set(
-        jnp.eye(Lb.shape[-1], dtype=Lb.dtype))
-    Lb = jnp.where(bad[:, None, None, None], eye_row[None], Lb)
-    y = block_cholesky_solve(Lb, (b * s).astype(jnp.float32))
-    x = y.astype(band.dtype) * s
-    for _ in range(refine):
-        r = b - band_matvec(band, x)
-        dy = block_cholesky_solve(Lb, (r * s).astype(jnp.float32))
-        x = x + dy.astype(band.dtype) * s
-    return x
-
-
 # --- Parallel direct solve: block cyclic reduction ---------------------------
 #
 # The sequential block-banded Cholesky is a T-step scan — fine on CPU,
