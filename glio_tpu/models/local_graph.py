@@ -35,7 +35,12 @@ def interpolate_segments(kf_p, kf_q, rel_dp, rel_dq, rel_valid,
       rel_dp, rel_dq: (T-1, max_dense+1, 3/4) measured relative poses along
         each segment: hop j→j+1 where frame 0 is the left keyframe and the
         last valid hop ends at the right keyframe.
-      rel_valid: (T-1, max_dense+1) hop validity.
+      rel_valid: (T-1, max_dense+1) hop validity. Hops are packed
+        contiguously from slot 0 (data/ingest packing), so the per-segment
+        hop count is the valid-slot count; segments with fewer than
+        max_dense+1 hops tie the right keyframe at chain position
+        n_hops — NOT at the padded end of the chain — so the terminal
+        measured hop always lands on the right-keyframe anchor.
 
     Returns (p_dense, q_dense, valid): (T-1, max_dense, ...) interior
     dense-frame poses per segment (masked where segments are shorter).
@@ -45,6 +50,9 @@ def interpolate_segments(kf_p, kf_q, rel_dp, rel_dq, rel_valid,
     n_int = max_dense  # interior frames per segment (padded)
 
     def solve_segment(pl_, ql_, pr, qr, dp, dq, hop_valid):
+        # Hops are left-packed, so the valid count locates the right
+        # keyframe in the chain: hop n_hops−1 ends at the right anchor.
+        n_hops = jnp.sum(hop_valid.astype(jnp.int32))
         # Initial guess: chain the relative measurements from the left.
         def init_step(carry, x):
             p_c, q_c = carry
@@ -60,9 +68,15 @@ def interpolate_segments(kf_p, kf_q, rel_dp, rel_dq, rel_valid,
 
         def residual(x):
             p_i, q_i = x  # (n_int, 3), (n_int, 4)
-            # Chain of poses: [left kf, interior..., right kf].
+            # Chain of poses: [left kf, interior..., right kf], with the
+            # right keyframe substituted at position n_hops for short
+            # segments (identical to the padded end when the segment is
+            # full: n_hops = max_dense+1 → position max_dense+1).
             ps = jnp.concatenate([pl_[None], p_i, pr[None]], axis=0)
             qs = jnp.concatenate([ql_[None], q_i, qr[None]], axis=0)
+            at_right = (jnp.arange(ps.shape[0]) == n_hops)[:, None]
+            ps = jnp.where(at_right, pr[None], ps)
+            qs = jnp.where(at_right, qr[None], qs)
             rq = 2.0 * quat.mul(quat.conj(dq),
                                 quat.mul(quat.conj(qs[:-1]), qs[1:]))[:, 1:]
             rp = quat.rotate(quat.conj(qs[:-1]), ps[1:] - ps[:-1]) - dp

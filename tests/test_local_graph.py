@@ -72,3 +72,41 @@ def test_interpolation_consistent_with_perturbed_measurements():
         mid = 0.5 * (np.asarray(kf_p[s]) + np.asarray(kf_p[s + 1]))
         span = np.linalg.norm(np.asarray(kf_p[s + 1] - kf_p[s])) + 1.0
         assert np.linalg.norm(np.asarray(p_int[s, 0]) - mid) < span
+
+
+def test_short_segment_ties_right_keyframe():
+    """A segment with fewer hops than the budget (ADVICE r2 medium):
+    the terminal measured hop must anchor the RIGHT keyframe, not a
+    padded phantom interior frame. Invariance oracle: the same 3-hop
+    segment solved under budget max_dense=2 (exact fit — the known-good
+    full-segment path) and under budget max_dense=4 (short segment) must
+    give identical interior poses."""
+    p_true = np.array([[0.0, 0, 0], [1.0, 0.2, 0], [2.0, 0.1, 0],
+                       [3.0, -0.1, 0]])
+    kf_p = jnp.asarray(p_true[[0, 3]])
+    kf_q = jnp.asarray(np.tile([1.0, 0, 0, 0], (2, 1)))
+    bias = np.array([0.3, 0.0, 0.0])  # per-hop drift → 0.9 m misclosure
+
+    def solve(S):
+        rel_dp = np.zeros((1, S + 1, 3))
+        rel_dq = np.zeros((1, S + 1, 4))
+        rel_dq[..., 0] = 1.0
+        rel_valid = np.zeros((1, S + 1), bool)
+        for j in range(3):  # left-packed hops 0..2; hop 2 → right kf
+            rel_dp[0, j] = p_true[j + 1] - p_true[j] + bias
+            rel_valid[0, j] = True
+        return local_graph.interpolate_segments(
+            kf_p, kf_q, jnp.asarray(rel_dp), jnp.asarray(rel_dq),
+            jnp.asarray(rel_valid), max_dense=S)
+
+    p_ref, q_ref, _ = solve(2)   # budget exactly fits: 3 hops, 2 interior
+    p_big, q_big, valid = solve(4)
+    np.testing.assert_allclose(np.asarray(p_big[0, :2]),
+                               np.asarray(p_ref[0]), atol=1e-8)
+    np.testing.assert_allclose(np.asarray(q_big[0, :2]),
+                               np.asarray(q_ref[0]), atol=1e-8)
+    # And the misclosure IS being distributed: interior 1 must not sit at
+    # the left-chained position truth + 2*bias (the pre-fix behavior).
+    chained = p_true[2] + 2 * bias
+    assert np.linalg.norm(np.asarray(p_big[0, 1]) - chained) > 0.2
+    assert bool(valid[0, 0]) and bool(valid[0, 1])
