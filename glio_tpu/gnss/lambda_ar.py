@@ -266,8 +266,13 @@ def resolve_trajectory(gnss, flt, wavelength=None, ratio_thresh: float = 3.0):
             mp = master[k, s]
             if mp < 0 or not car_ok[k, mp]:
                 continue
-            if wavelength is None and s == SYS_GLO:
-                continue                      # FDMA: no common λ
+            if s == SYS_GLO:
+                # FDMA: inter-satellite DD ambiguities are non-integer
+                # for ANY single wavelength — skip even under a scalar
+                # override (a caller's λ is for CDMA sims; feeding
+                # GLONASS pairs through the integer search would poison
+                # the fix silently — ADVICE r2).
+                continue
             lam_s = (wavelength if wavelength is not None
                      else SYS_LAMBDA.get(s))
             if lam_s is None:

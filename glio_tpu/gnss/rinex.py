@@ -95,6 +95,30 @@ class GloEphemeris:
 
 GPS_UTC_LEAP_2021 = 18.0   # GPS − UTC leap seconds (2017-01-01 onward)
 
+# GPS − UTC leap-second table keyed by the UTC date the offset took
+# effect (IERS Bulletin C history; the reference gets this from RTKLIB's
+# leaps[] table). Derive the offset from the record's own epoch so
+# pre-2017 data (or data after a future leap second, once added here)
+# converts correctly — ADVICE r2.
+_LEAP_TABLE = (
+    # (MJD of effectivity, GPS − UTC seconds)
+    (civil2mjd(2017, 1, 1), 18.0),
+    (civil2mjd(2015, 7, 1), 17.0),
+    (civil2mjd(2012, 7, 1), 16.0),
+    (civil2mjd(2009, 1, 1), 15.0),
+    (civil2mjd(2006, 1, 1), 14.0),
+    (civil2mjd(1999, 1, 1), 13.0),
+)
+
+
+def gps_utc_leap(y: int, m: int, d: int) -> float:
+    """GPS − UTC leap-second offset in effect at a UTC civil date."""
+    mjd = civil2mjd(y, m, d)
+    for mjd0, leap in _LEAP_TABLE:
+        if mjd >= mjd0:
+            return leap
+    return 13.0
+
 
 @dataclass
 class ObsEpoch:
@@ -124,12 +148,29 @@ def _f(s: str) -> float:
 
 
 def parse_obs(path: str, systems: str = "GREC") -> ObsData:
-    """Parse a RINEX 3 observation file.
+    """Parse a RINEX observation file (2.11 or 3.x, by header version).
 
     Keeps the first pseudorange/carrier/doppler/SNR observable per
     satellite (L1/B1/E1 codes come first in these files, matching the
     reference's L1-only processing, ``gnss_preprocessor.cpp:79`` nf=1).
+    Version dispatch mirrors RTKLIB, which decodes both in one reader
+    (``rinex.c:632-735`` handles the v2 epoch/observation layout) — the
+    reference's launch names a v2.11 CORS base file
+    (``GLIO/launch/run_urban_hk.launch:32``, ``hksc1410.21o``).
     """
+    with open(path) as fh:
+        first = fh.readline()
+    version = 3.0
+    if first[60:].strip().startswith("RINEX VERSION"):
+        v = _f(first[0:9])
+        if np.isfinite(v):
+            version = v
+    if version < 3.0:
+        return _parse_obs_v2(path, systems)
+    return _parse_obs_v3(path, systems)
+
+
+def _parse_obs_v3(path: str, systems: str) -> ObsData:
     obs_types: Dict[str, List[str]] = {}
     out = ObsData()
     with open(path) as fh:
@@ -205,6 +246,187 @@ def parse_obs(path: str, systems: str = "GREC") -> ObsData:
     return out
 
 
+def _parse_obs_v2(path: str, systems: str) -> ObsData:
+    """RINEX 2.11 observation body (the CORS base-station format).
+
+    v2 differences from v3 (RINEX 2.11 spec §5; RTKLIB ``rinex.c:632-735``
+    behavior reference): one global ``# / TYPES OF OBSERV`` list (9 types
+    per 6-char-field line with continuations), 2-digit years, epoch lines
+    carrying the satellite list inline (12 per line, continuations), and
+    per-satellite observation rows of 5×16-char fields with continuation
+    lines when more than 5 observables are defined. A blank system char in
+    a satellite id means GPS.
+    """
+    out = ObsData()
+    types: List[str] = []
+    with open(path) as fh:
+        # ---- header ----
+        n_types = 0
+        for line in fh:
+            label = line[60:].strip()
+            if label == "# / TYPES OF OBSERV":
+                if line[0:6].strip():
+                    n_types = int(line[0:6])
+                for k in range(9):
+                    t = line[6 + 6 * k: 12 + 6 * k].strip()
+                    if t:
+                        types.append(t)
+            elif label == "APPROX POSITION XYZ":
+                out.approx_pos = np.array(
+                    [_f(line[0:14]), _f(line[14:28]), _f(line[28:42])])
+            elif label == "END OF HEADER":
+                break
+        types = types[:n_types] if n_types else types
+
+        # Column picks: v2 codes pseudorange as C1 (C/A) or P1 (P-code).
+        def first(prefixes):
+            for pre in prefixes:
+                for i, t in enumerate(types):
+                    if t == pre:
+                        return i
+            return None
+
+        pc = first(("C1", "P1"))
+        pl = first(("L1",))
+        pd = first(("D1",))
+        ps = first(("S1",))
+        n_obs_lines = max(1, -(-len(types) // 5))
+
+        # ---- body ----
+        for line in fh:
+            # The loop only lands on epoch lines (observation rows are
+            # consumed by the inner next() calls); skip anything that
+            # doesn't carry the I3 flag + I3 satellite-count fields.
+            if len(line) < 32:
+                continue
+            try:
+                flag = int(line[26:29])
+                nsat = int(line[29:32])
+            except ValueError:
+                continue
+            if flag > 1:
+                # Event records: skip the following nsat header-like lines.
+                for _ in range(nsat):
+                    next(fh, None)
+                continue
+            try:
+                yy = int(line[1:3])
+                mo = int(line[4:6])
+                dd = int(line[7:9])
+                hh = int(line[10:12])
+                mi = int(line[13:15])
+                ss = float(line[16:26])
+            except ValueError:
+                continue
+            y = 1900 + yy if yy >= 80 else 2000 + yy
+            week, tow = civil2gps(y, mo, dd, hh, mi, ss)
+            t = 315964800.0 + week * 604800.0 + tow
+
+            sat_ids = []
+            cur = line
+            read = 0
+            while read < nsat:
+                k = read % 12
+                if read and k == 0:
+                    cur = next(fh)
+                fld = cur[32 + 3 * k: 35 + 3 * k]
+                sys_c = fld[0]
+                if sys_c == " ":
+                    sys_c = "G"
+                sat_ids.append(sys_c + fld[1:3].replace(" ", "0"))
+                read += 1
+
+            sats, psr, car, dop, snr, lli = [], [], [], [], [], []
+            for sat in sat_ids:
+                fields = []
+                for _ in range(n_obs_lines):
+                    rec = next(fh, "").rstrip("\n")
+                    for k in range(5):
+                        if len(fields) >= len(types):
+                            break
+                        fld = rec[16 * k: 16 * k + 14]
+                        li = rec[16 * k + 14: 16 * k + 15].strip()
+                        fields.append((_f(fld), int(li) if li else 0))
+                if sat[0] not in SYS_CHAR or sat[0] not in systems:
+                    continue
+
+                def val(col):
+                    if col is None or col >= len(fields):
+                        return np.nan, 0
+                    return fields[col]
+
+                p, _unused = val(pc)
+                c, li_ = val(pl)
+                d, _unused = val(pd)
+                s, _unused = val(ps)
+                if np.isnan(p):
+                    continue
+                sats.append(sat)
+                psr.append(p); car.append(c); dop.append(d)
+                snr.append(s); lli.append(li_)
+            if flag == 0 and sats:
+                out.epochs.append(ObsEpoch(
+                    time=t, sats=sats,
+                    psr=np.array(psr), carrier=np.array(car),
+                    doppler=np.array(dop), snr=np.array(snr),
+                    lli=np.array(lli)))
+    return out
+
+
+def write_obs_v2(obs: ObsData, path: str, n_epochs: Optional[int] = None):
+    """Write observations as RINEX 2.11 (C1/L1/D1/S1).
+
+    Interop/test helper: round-tripping a decoded v3 file through this
+    writer and ``parse_obs`` must reproduce identical epoch tensors —
+    the validation VERDICT r2 asked for on the v2 decode path.
+    """
+    epochs = obs.epochs[:n_epochs] if n_epochs else obs.epochs
+    with open(path, "w") as fh:
+        fh.write(f"{2.11:9.2f}{'':11s}{'OBSERVATION DATA':<20s}"
+                 f"{'M (MIXED)':<20s}RINEX VERSION / TYPE\n")
+        if obs.approx_pos is not None:
+            fh.write(f"{obs.approx_pos[0]:14.4f}{obs.approx_pos[1]:14.4f}"
+                     f"{obs.approx_pos[2]:14.4f}{'':18s}"
+                     "APPROX POSITION XYZ\n")
+        fh.write(f"{4:6d}    C1    L1    D1    S1{'':30s}"
+                 "# / TYPES OF OBSERV\n")
+        fh.write(f"{'':60s}END OF HEADER\n")
+        for ep in epochs:
+            tu = ep.time - 315964800.0
+            week = int(tu // 604800.0)
+            tow = tu - week * 604800.0
+            mjd = GPS_DAY0 + week * 7 + int(tow // 86400.0)
+            sod = tow - int(tow // 86400.0) * 86400.0
+            # MJD → civil (inverse of civil2mjd).
+            a = mjd + 2400001 + 32044
+            b = (4 * a + 3) // 146097
+            c = a - 146097 * b // 4
+            d = (4 * c + 3) // 1461
+            e = c - 1461 * d // 4
+            m = (5 * e + 2) // 153
+            day = e - (153 * m + 2) // 5 + 1
+            month = m + 3 - 12 * (m // 10)
+            year = 100 * b + d - 4800 + m // 10
+            hh = int(sod // 3600)
+            mi = int((sod - hh * 3600) // 60)
+            ss = sod - hh * 3600 - mi * 60
+            fh.write(f" {year % 100:02d} {month:2d} {day:2d} {hh:2d} "
+                     f"{mi:2d}{ss:11.7f}  0{len(ep.sats):3d}")
+            for j, sat in enumerate(ep.sats):
+                if j and j % 12 == 0:
+                    fh.write("\n" + " " * 32)
+                fh.write(sat)
+            fh.write("\n")
+            for j in range(len(ep.sats)):
+                for v, li in ((ep.psr[j], 0), (ep.carrier[j], ep.lli[j]),
+                              (ep.doppler[j], 0), (ep.snr[j], 0)):
+                    if np.isnan(v):
+                        fh.write(" " * 16)
+                    else:
+                        fh.write(f"{v:14.3f}{int(li) or ' '}"[:15] + " ")
+                fh.write("\n")
+
+
 # BDT week 0 began at GPS week 1356; BDT = GPST − 14 s.
 BDS_WEEK_OFFSET = 1356
 BDS_TIME_OFFSET = 14.0
@@ -252,9 +474,11 @@ def parse_nav(path: str, glo: Optional[Dict[str, List[GloEphemeris]]] = None,
                              for j in range(4)])
             i += 4
             # Epoch is UTC; GLONASS clock applies at UTC(SU) — convert the
-            # record epoch to the GPS timescale used throughout.
+            # record epoch to the GPS timescale used throughout, with the
+            # leap-second offset in effect at the record's own date.
             week, tow = civil2gps(y, mo, dd, hh, mi, ss)
-            toe = 315964800.0 + week * 604800.0 + tow + GPS_UTC_LEAP_2021
+            toe = 315964800.0 + week * 604800.0 + tow + gps_utc_leap(
+                y, mo, dd)
             geph = GloEphemeris(
                 prn=int(sat[1:3]), toe=toe,
                 tau_n=-vals[0], gamma_n=vals[1],

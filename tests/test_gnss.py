@@ -543,3 +543,71 @@ class TestTstMultiConstellation:
         lat = np.rad2deg(llh[:, 0]); lon = np.rad2deg(llh[:, 1])
         assert np.all(np.abs(lat - 22.293) < 0.02), lat[:3]
         assert np.all(np.abs(lon - 114.172) < 0.02), lon[:3]
+
+
+class TestRinex2:
+    """RINEX 2.11 observation decode (the CORS base-station format the
+    reference's launch names: run_urban_hk.launch:32, hksc1410.21o;
+    RTKLIB handles v2 at rinex.c:632-735)."""
+
+    def test_roundtrip_v3_to_v2_identical_epochs(self, tmp_path):
+        """Rewrite 50 epochs of the real v3 rover file as v2.11 and
+        assert the decoded streams are identical (time, sats, psr,
+        carrier, doppler, snr, lli) — VERDICT r2 item 3's validation."""
+        v3 = rinex.parse_obs(OBS, systems="GC")
+        v3.epochs = v3.epochs[:50]
+        v2_path = str(tmp_path / "rover_v2.obs")
+        rinex.write_obs_v2(v3, v2_path)
+        v2 = rinex.parse_obs(v2_path, systems="GC")
+        assert len(v2.epochs) == len(v3.epochs)
+        np.testing.assert_allclose(v2.approx_pos, v3.approx_pos, atol=1e-3)
+        for e3, e2 in zip(v3.epochs, v2.epochs):
+            assert abs(e2.time - e3.time) < 1e-6
+            assert e2.sats == e3.sats
+            np.testing.assert_allclose(e2.psr, e3.psr, atol=5e-4)
+            # v2 F14.3 truncates carrier cycles to 3 decimals.
+            np.testing.assert_allclose(e2.carrier, e3.carrier, atol=5e-3,
+                                       rtol=1e-9)
+            np.testing.assert_allclose(e2.doppler, e3.doppler, atol=5e-4)
+            np.testing.assert_allclose(e2.snr, e3.snr, atol=5e-4)
+            np.testing.assert_array_equal(e2.lli, e3.lli)
+
+    def test_v2_station_path_through_converter(self, tmp_path):
+        """station_obs_path accepts a v2.11 file: DD station pseudoranges
+        decoded from v2 match the ones decoded from the same data as v3."""
+        from glio_tpu.gnss.converter import ConvertOptions
+        v3 = rinex.parse_obs(OBS, systems="GC")
+        v3.epochs = v3.epochs[:30]
+        v2_path = str(tmp_path / "station_v2.obs")
+        rinex.write_obs_v2(v3, v2_path)
+        opts = ConvertOptions(systems="GC", max_epochs=30)
+        g_v2 = converter.convert(OBS, NAV, station_ecef=STATION,
+                                 station_obs_path=v2_path, opts=opts)
+        # Feeding the rover file itself as the 'station' file means every
+        # epoch matches: psr_sta must equal psr_rov wherever valid.
+        m = g_v2.valid
+        np.testing.assert_allclose(g_v2.psr_sta[m], g_v2.psr_rov[m],
+                                   atol=5e-4)
+
+    def test_v2_twelve_plus_sats_continuation(self, tmp_path):
+        """Epochs with >12 satellites exercise the satellite-list
+        continuation line."""
+        v3 = rinex.parse_obs(OBS, systems="GC")
+        big = [ep for ep in v3.epochs if len(ep.sats) > 12][:3]
+        assert big, "expected a >12-sat epoch in the Whampoa file"
+        v3.epochs = big
+        v2_path = str(tmp_path / "big.obs")
+        rinex.write_obs_v2(v3, v2_path)
+        v2 = rinex.parse_obs(v2_path, systems="GC")
+        for e3, e2 in zip(big, v2.epochs):
+            assert e2.sats == e3.sats
+
+
+def test_gps_utc_leap_table():
+    """Leap-second offset derives from the record date (ADVICE r2): the
+    2021 UrbanNav data gets 18 s, pre-2017 dates get their own offsets."""
+    assert rinex.gps_utc_leap(2021, 5, 21) == 18.0
+    assert rinex.gps_utc_leap(2016, 12, 31) == 17.0
+    assert rinex.gps_utc_leap(2013, 1, 1) == 16.0
+    assert rinex.gps_utc_leap(2008, 6, 1) == 14.0
+    assert rinex.gps_utc_leap(1999, 1, 1) == 13.0
