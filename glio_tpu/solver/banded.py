@@ -355,6 +355,102 @@ def band_to_tridiag(band):
     return Asup, Bsup, Csup, N, S
 
 
+def tridiag_cr_solve(A, Bm, C, r):
+    """Block-tridiagonal solve via cyclic reduction, multi-RHS.
+
+    A, Bm, C: (N, S, S) sub/main/super-diagonal blocks (A[0] = C[N-1] = 0);
+    the system must be SPD (every level's diagonal blocks stay SPD under
+    the symmetric Schur reductions, so no pivoting). r: (N, S, K) RHS
+    columns — the multi-RHS form is what the SPIKE-partitioned multi-chip
+    solver needs (interior elimination against 2S+1 columns at once).
+    Returns x: (N, S, K).
+    """
+    S = Bm.shape[-1]
+    dtype = Bm.dtype
+    K = r.shape[-1]
+
+    # Pad to odd count so every level has a well-defined even set
+    # (identity rows decouple).
+    levels = []
+    while A.shape[0] > 2:
+        n = A.shape[0]
+        n_before_pad = n
+        if n % 2 == 0:
+            eyeS = jnp.eye(S, dtype=dtype)
+            A = jnp.concatenate([A, jnp.zeros((1, S, S), dtype)])
+            Bm = jnp.concatenate([Bm, eyeS[None]])
+            C = jnp.concatenate([C, jnp.zeros((1, S, S), dtype)])
+            r = jnp.concatenate([r, jnp.zeros((1, S, K), dtype)])
+            n += 1
+        odd_A, odd_B, odd_C = A[1::2], Bm[1::2], C[1::2]
+        odd_r = r[1::2]
+        # Factor all odd diagonal blocks at once.
+        BiA = _spd_solve_batched(odd_B, odd_A)          # B_j⁻¹ A_j
+        BiC = _spd_solve_batched(odd_B, odd_C)          # B_j⁻¹ C_j
+        Bir = _spd_solve_batched(odd_B, odd_r)          # (n_odd, S, K)
+        levels.append((n_before_pad, BiA, BiC, Bir))
+        ev_A, ev_B, ev_C, ev_r = A[0::2], Bm[0::2], C[0::2], r[0::2]
+        n_ev = ev_A.shape[0]
+        # Even row i (global 2k) couples to odd neighbors 2k−1 (left,
+        # index k−1 in odd arrays) and 2k+1 (right, index k).
+        # Left contributions (absent for k=0):
+        zl = jnp.zeros((1, S, S), dtype)
+        zv = jnp.zeros((1, S, K), dtype)
+        L_BiC = jnp.concatenate([zl, BiC[:n_ev - 1]])
+        L_BiA = jnp.concatenate([zl, BiA[:n_ev - 1]])
+        L_Bir = jnp.concatenate([zv, Bir[:n_ev - 1]])
+        # Right contributions (absent for the last even row if no odd
+        # follows it):
+        def rpad(x, z):
+            return (x if x.shape[0] == n_ev
+                    else jnp.concatenate([x, z[:n_ev - x.shape[0]]]))
+        R_BiA = rpad(BiA, zl)
+        R_BiC = rpad(BiC, zl)
+        R_Bir = rpad(Bir, zv)
+        Bm = (ev_B
+              - jnp.matmul(ev_A, L_BiC)
+              - jnp.matmul(ev_C, R_BiA))
+        r = (ev_r
+             - jnp.matmul(ev_A, L_Bir)
+             - jnp.matmul(ev_C, R_Bir))
+        A = -jnp.matmul(ev_A, L_BiA)
+        C = -jnp.matmul(ev_C, R_BiC)
+        A = A.at[0].set(0.0)
+        C = C.at[-1].set(0.0)
+
+    # Base case: 1 or 2 super-rows — one dense SPD solve.
+    n0 = A.shape[0]
+    if n0 == 1:
+        x = _spd_solve_batched(Bm[0], r[0])[None]
+    else:
+        H2 = jnp.zeros((2 * S, 2 * S), dtype)
+        H2 = H2.at[:S, :S].set(Bm[0]).at[S:, S:].set(Bm[1])
+        H2 = H2.at[:S, S:].set(C[0]).at[S:, :S].set(A[1])
+        x = _spd_solve_batched(H2, r.reshape(2 * S, K))
+        x = x.reshape(2, S, K)
+
+    # Back-substitution through the levels in reverse.
+    for n_before_pad, BiA, BiC, Bir in reversed(levels):
+        n_odd = BiA.shape[0]
+        # Odd row j=2k+1 uses even neighbors x_even[k] (left) and
+        # x_even[k+1] (right — always present: the level was padded to an
+        # odd count, so evens outnumber odds by one).
+        xl = x[:n_odd]
+        xr = x[1:n_odd + 1]
+        x_odd = (Bir
+                 - jnp.matmul(BiA, xl)
+                 - jnp.matmul(BiC, xr))
+        # Interleave to this level's (padded) ordering, then trim the
+        # padding row so the parent sees its original even count.
+        n_prev = x.shape[0] + n_odd
+        out = jnp.zeros((n_prev, S, K), dtype)
+        out = out.at[0::2].set(x[: (n_prev + 1) // 2])
+        out = out.at[1::2].set(x_odd)
+        x = out[:n_before_pad]
+
+    return x
+
+
 @partial(jax.jit, static_argnames=())
 def cyclic_reduction_solve(band, b):
     """Exact banded solve via block cyclic reduction (log-depth).
@@ -367,87 +463,7 @@ def cyclic_reduction_solve(band, b):
     A, Bm, C, N, S = band_to_tridiag(band)
     bsup = jnp.zeros((N * hw, D), band.dtype).at[:T].set(b)
     r = bsup.reshape(N, S)
-
-    # Pad to odd count so every level has a well-defined even set
-    # (identity rows decouple).
-    levels = []
-    while A.shape[0] > 2:
-        n = A.shape[0]
-        n_before_pad = n
-        if n % 2 == 0:
-            eyeS = jnp.eye(S, dtype=band.dtype)
-            A = jnp.concatenate([A, jnp.zeros((1, S, S), band.dtype)])
-            Bm = jnp.concatenate([Bm, eyeS[None]])
-            C = jnp.concatenate([C, jnp.zeros((1, S, S), band.dtype)])
-            r = jnp.concatenate([r, jnp.zeros((1, S), band.dtype)])
-            n += 1
-        odd_A, odd_B, odd_C = A[1::2], Bm[1::2], C[1::2]
-        odd_r = r[1::2]
-        # Factor all odd diagonal blocks at once.
-        BiA = _spd_solve_batched(odd_B, odd_A)          # B_j⁻¹ A_j
-        BiC = _spd_solve_batched(odd_B, odd_C)          # B_j⁻¹ C_j
-        Bir = _spd_solve_batched(odd_B, odd_r[..., None])[..., 0]
-        levels.append((n_before_pad, BiA, BiC, Bir))
-        ev_A, ev_B, ev_C, ev_r = A[0::2], Bm[0::2], C[0::2], r[0::2]
-        n_ev = ev_A.shape[0]
-        # Even row i (global 2k) couples to odd neighbors 2k−1 (left,
-        # index k−1 in odd arrays) and 2k+1 (right, index k).
-        # Left contributions (absent for k=0):
-        zl = jnp.zeros((1, S, S), band.dtype)
-        zv = jnp.zeros((1, S), band.dtype)
-        L_BiC = jnp.concatenate([zl, BiC[:n_ev - 1]])
-        L_BiA = jnp.concatenate([zl, BiA[:n_ev - 1]])
-        L_Bir = jnp.concatenate([zv, Bir[:n_ev - 1]])
-        # Right contributions (absent for the last even row if no odd
-        # follows it):
-        n_odd = BiA.shape[0]
-        def rpad(x, z):
-            return (x if x.shape[0] == n_ev
-                    else jnp.concatenate([x, z[:n_ev - x.shape[0]]]))
-        R_BiA = rpad(BiA, zl)
-        R_BiC = rpad(BiC, zl)
-        R_Bir = rpad(Bir, zv)
-        Bm = (ev_B
-              - jnp.matmul(ev_A, L_BiC)
-              - jnp.matmul(ev_C, R_BiA))
-        r = (ev_r
-             - jnp.matmul(ev_A, L_Bir[..., None])[..., 0]
-             - jnp.matmul(ev_C, R_Bir[..., None])[..., 0])
-        A = -jnp.matmul(ev_A, L_BiA)
-        C = -jnp.matmul(ev_C, R_BiC)
-        A = A.at[0].set(0.0)
-        C = C.at[-1].set(0.0)
-
-    # Base case: 1 or 2 super-rows — one dense SPD solve.
-    n0 = A.shape[0]
-    if n0 == 1:
-        x = _spd_solve_batched(Bm[0], r[0][..., None])[..., 0][None]
-    else:
-        H2 = jnp.zeros((2 * S, 2 * S), band.dtype)
-        H2 = H2.at[:S, :S].set(Bm[0]).at[S:, S:].set(Bm[1])
-        H2 = H2.at[:S, S:].set(C[0]).at[S:, :S].set(A[1])
-        x = _spd_solve_batched(H2, r.reshape(-1)[..., None])[..., 0]
-        x = x.reshape(2, S)
-
-    # Back-substitution through the levels in reverse.
-    for n_before_pad, BiA, BiC, Bir in reversed(levels):
-        n_odd = BiA.shape[0]
-        # Odd row j=2k+1 uses even neighbors x_even[k] (left) and
-        # x_even[k+1] (right — always present: the level was padded to an
-        # odd count, so evens outnumber odds by one).
-        xl = x[:n_odd]
-        xr = x[1:n_odd + 1]
-        x_odd = (Bir
-                 - jnp.matmul(BiA, xl[..., None])[..., 0]
-                 - jnp.matmul(BiC, xr[..., None])[..., 0])
-        # Interleave to this level's (padded) ordering, then trim the
-        # padding row so the parent sees its original even count.
-        n_prev = x.shape[0] + n_odd
-        out = jnp.zeros((n_prev, S), band.dtype)
-        out = out.at[0::2].set(x[: (n_prev + 1) // 2])
-        out = out.at[1::2].set(x_odd)
-        x = out[:n_before_pad]
-
+    x = tridiag_cr_solve(A, Bm, C, r[..., None])[..., 0]
     return x.reshape(-1, D)[:T]
 
 
