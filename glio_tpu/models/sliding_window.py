@@ -529,10 +529,14 @@ def make_replay(cfg: GlioConfig):
 
         # 4. Build the local map: ring-buffer lidar-frame clouds → world
         # (extrinsic applied exactly as the window queries apply it).
+        # Entirely in f32: the product was cast to f32 anyway (association
+        # + plane fits are f32), and the M·S = 20·16384-point quaternion
+        # rotate was the window's largest fixed-cost emulated-f64 op
+        # (VERDICT r2 #9). f32 keeps ~0.1 mm at the local-map scale.
         map_body = lidar_factors.body_from_lidar(
-            c.map_scans.astype(F64), q_lb, t_lb)
-        map_world = (quat.rotate(c.map_q[:, None, :], map_body)
-                     + c.map_p[:, None, :]).astype(F32)
+            c.map_scans.astype(F32), q_lb.astype(F32), t_lb.astype(F32))
+        map_world = (quat.rotate(c.map_q[:, None, :].astype(F32), map_body)
+                     + c.map_p[:, None, :].astype(F32))
         map_valid_pts = c.map_scan_valid & c.map_slot_valid[:, None]
         map_flat = map_world.reshape(M * S, 3)
         map_valid_flat = map_valid_pts.reshape(M * S)

@@ -145,7 +145,14 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
                                    fusion_span)
         prob = batch_mod.build_problem(cfg, pw, qw, tw, gsub,
                                        anchor, yaw, station)
-        pc, qc, _ = batch_mod.optimize_batch(cfg, prob, solver=cfg.estimator.batch_solver)
+        # Robust IRLS matches the production batch configuration (bench):
+        # without it a diverged window tail drags the WHOLE fused chain
+        # toward the divergence instead of being rejected, and the
+        # guarded reset then snaps the window to a compromised target.
+        pc, qc, _ = batch_mod.optimize_batch(
+            cfg, prob, solver=cfg.estimator.batch_solver,
+            robust=batch_mod.RobustOpts(dd_huber=1.0, epoch_gate=2.0,
+                                        rel_huber=5.0))
         p_hist[s0:t] = np.asarray(pc)[:n]
         q_hist[s0:t] = np.asarray(qc)[:n]
         # Correct the map ring for frames that already left the window
@@ -165,20 +172,55 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
         # restores tracking; velocities are re-seeded by finite
         # differences).
         w = base.window
+        # Divergence signals (gates in EstimatorConfig, VERDICT r2 #8):
+        # (a) window tail vs fused tail — catches the batch correcting
+        #     the trajectory away from a runaway window;
+        # (b) fused tail vs an INDEPENDENT per-epoch RTK DD fix — catches
+        #     the case where the robust batch *rejected* the diverged
+        #     tail's GNSS epochs as outliers, so fused == window and
+        #     signal (a) stays silent while the error grows unbounded.
+        drift_thr = cfg.estimator.reset_drift_threshold
+        vmax = cfg.estimator.reset_max_speed
+        p_fix = None
+        g = ep.gnss
+        ei = int(np.searchsorted(np.asarray(g.time),
+                                 kf_time[t - 1])) - 1
+        if ei >= 0:
+            fx, _, ok, _ = rtk.solve_epoch_dd(
+                jnp.asarray(g.sat_pos[ei]), jnp.asarray(g.psr_rov[ei]),
+                jnp.asarray(g.psr_sta[ei]), jnp.asarray(g.valid[ei]),
+                jnp.asarray(g.system[ei], jnp.int32),
+                jnp.asarray(g.master[ei]), jnp.asarray(station),
+                jnp.asarray(g.elevation[ei]), jnp.asarray(g.snr[ei]),
+                jnp.asarray(anchor))
+            if bool(ok):
+                enu = np.asarray(C.ecef2enu(fx[None],
+                                            jnp.asarray(anchor)))[0]
+                sy, cy = np.sin(yaw), np.cos(yaw)
+                p_fix = np.array([[cy, sy, 0], [-sy, cy, 0],
+                                  [0, 0, 1.0]]) @ enu
         drift = float(np.linalg.norm(
             np.asarray(w.p[-1]) - p_hist[t - 1]))
+        if p_fix is not None:
+            drift = max(drift, float(
+                np.linalg.norm(p_hist[t - 1] - p_fix)))
         pk = p_hist[t - K:t]
         qk = q_hist[t - K:t]
         hop = (np.linalg.norm(np.diff(pk, axis=0), axis=-1) / kf_dt
                if pk.shape[0] > 1 else np.zeros(1))
-        # Only snap to a PLAUSIBLE fused target: if the fused tail itself
-        # is broken (non-finite, or implies impossible vehicle speed), a
-        # reset would inject garbage states — and its finite-difference
-        # velocity seed amplifies a position spike into astronomic
-        # velocities.
-        target_sane = bool(np.isfinite(pk).all() and hop.max() < 30.0)
-        if drift > 20.0 and target_sane:
-            vk = np.clip(np.gradient(pk, kf_dt, axis=0), -30.0, 30.0)
+        # Only snap to a PLAUSIBLE fused target: finite, physically
+        # possible hop speeds, and agreeing with the independent fix
+        # when one exists — otherwise a reset would inject garbage
+        # states (the finite-difference velocity seed amplifies a
+        # position spike into astronomic velocities).
+        target_sane = bool(
+            np.isfinite(pk).all() and hop.max() < vmax
+            and (p_fix is None
+                 or np.linalg.norm(pk[-1] - p_fix) < drift_thr))
+        did_reset = False
+        if drift > drift_thr and target_sane:
+            did_reset = True
+            vk = np.clip(np.gradient(pk, kf_dt, axis=0), -vmax, vmax)
             w = w._replace(p=jnp.asarray(pk), q=jnp.asarray(qk),
                            v=jnp.asarray(vk))
             base = base._replace(
@@ -186,38 +228,32 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
                 prior_valid=jnp.asarray(False),
                 prior_sqrt_jac=jnp.zeros_like(base.prior_sqrt_jac),
                 prior_sqrt_res=jnp.zeros_like(base.prior_sqrt_res))
-        elif drift > 20.0:
-            # Even the fused tail is broken: re-anchor from a direct RTK
-            # DD fix — an absolute position independent of every
+        elif drift > drift_thr and p_fix is not None:
+            # Even the fused tail is broken: re-anchor from the direct
+            # RTK DD fix — an absolute position independent of every
             # accumulated state (failure recovery; the ROS reference's
             # equivalent is an operator restart).
-            g = ep.gnss
-            ei = int(np.searchsorted(np.asarray(g.time),
-                                     kf_time[t - 1])) - 1
-            if ei >= 0:
-                fx, _, ok, _ = rtk.solve_epoch_dd(
-                    jnp.asarray(g.sat_pos[ei]), jnp.asarray(g.psr_rov[ei]),
-                    jnp.asarray(g.psr_sta[ei]), jnp.asarray(g.valid[ei]),
-                    jnp.asarray(g.system[ei], jnp.int32),
-                    jnp.asarray(g.master[ei]), jnp.asarray(station),
-                    jnp.asarray(g.elevation[ei]), jnp.asarray(g.snr[ei]),
-                    jnp.asarray(anchor))
-                if bool(ok):
-                    enu = np.asarray(C.ecef2enu(fx[None],
-                                                jnp.asarray(anchor)))[0]
-                    sy, cy = np.sin(yaw), np.cos(yaw)
-                    p_fix = np.array([[cy, sy, 0], [-sy, cy, 0],
-                                      [0, 0, 1.0]]) @ enu
-                    pk2 = np.repeat(p_fix[None], K, 0)
-                    w = w._replace(
-                        p=jnp.asarray(pk2),
-                        v=jnp.zeros_like(w.v))
-                    base = base._replace(
-                        window=w,
-                        prior_valid=jnp.asarray(False),
-                        prior_sqrt_jac=jnp.zeros_like(base.prior_sqrt_jac),
-                        prior_sqrt_res=jnp.zeros_like(base.prior_sqrt_res))
-                    p_hist[t - K:t] = pk2
+            did_reset = True
+            pk2 = np.repeat(p_fix[None], K, 0)
+            w = w._replace(
+                p=jnp.asarray(pk2),
+                v=jnp.zeros_like(w.v))
+            base = base._replace(
+                window=w,
+                prior_valid=jnp.asarray(False),
+                prior_sqrt_jac=jnp.zeros_like(base.prior_sqrt_jac),
+                prior_sqrt_res=jnp.zeros_like(base.prior_sqrt_res))
+            p_hist[t - K:t] = pk2
+        if did_reset and hasattr(carry, "ddt"):
+            # Root cause of the round-2 "window-Doppler slows
+            # re-convergence after resets" finding: during a divergence
+            # the per-slot receiver clock-drift states absorb part of the
+            # wrong velocity along the mean LOS; carried across the snap,
+            # the stale ring + constantClockDriftFactor ties pull the
+            # re-seeded velocities back toward the diverged solution.
+            # Zero the warm-start — each slot's Doppler rows re-estimate
+            # its ddt absolutely in the next solve.
+            carry = carry._replace(ddt=jnp.zeros_like(carry.ddt))
         carry = carry._replace(base=base)
 
     # Final correction sweep: early segments froze at whatever partial
@@ -246,7 +282,10 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
                                        fusion_span)
             prob = batch_mod.build_problem(cfg, pw, qw, tw, gsub,
                                            anchor, yaw, station)
-            pc, qc, _ = batch_mod.optimize_batch(cfg, prob, solver=cfg.estimator.batch_solver)
+            pc, qc, _ = batch_mod.optimize_batch(
+                cfg, prob, solver=cfg.estimator.batch_solver,
+                robust=batch_mod.RobustOpts(dd_huber=1.0, epoch_gate=2.0,
+                                            rel_huber=5.0))
             p_hist[s0:t] = np.asarray(pc)[:n]
             q_hist[s0:t] = np.asarray(qc)[:n]
     return p_hist, q_hist

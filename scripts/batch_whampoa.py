@@ -49,38 +49,70 @@ DATA = "/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/urbannavWhampoa"
 ROBUST = B.RobustOpts(dd_huber=1.0, epoch_gate=2.0, rel_huber=5.0)
 
 
-def main(lm_iters=(40, 12, 8, 8), pcg_iters=250):
-    sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
-    bt = read_result_csv("/root/reference/result/tc_batch_result.csv")
+def _load_epochs():
+    cache = "/tmp/whampoa_gnss.npz"
+    if _os.path.exists(cache):
+        from glio_tpu.data.episode import GnssEpochs
+        z = np.load(cache)
+        return GnssEpochs(**{k: z[k] for k in z.files})
     g = converter.convert(
         f"{DATA}/20210521.medium-urban.whampoa.ublox.m8t.GC.obs",
         f"{DATA}/hksc141g.nav", station_ecef=STATION)
-    p_odo = sw.enu
-    q_odo = np.asarray(quat.from_ypr(jnp.asarray(np.deg2rad(sw.ypr_deg))))
-    cfg = GlioConfig()
-    prob = B.build_problem(cfg, p_odo, q_odo, sw.time, g, ANCHOR, 0.0, STATION)
-    t0 = time.time()
-    p, q, costs = B.optimize_batch(
-        cfg, prob, thresholds=(1e9, 10.0, 8.0, 6.0),
-        lm_iters=lm_iters, pcg_iters=pcg_iters, robust=ROBUST)
-    p = np.asarray(p)
-    print("solve", round(time.time() - t0, 1), "s; costs",
-          [round(c) for c in costs], flush=True)
+    try:
+        import dataclasses as _dc
+        np.savez(cache, **_dc.asdict(g))
+    except Exception:
+        pass
+    return g
+
+
+def _report(tag, p, sw, bt):
     ia, ib = associate(sw.time, bt.time)
     r1, e1 = ate_rmse(p[ia], bt.enu[ib])
     off = np.median(p[ia] - bt.enu[ib], axis=0)
     r2, e2 = ate_rmse(p[ia] - off, bt.enu[ib])
     h = np.linalg.norm((p[ia] - bt.enu[ib])[:, :2], axis=1)
     v = (p[ia] - bt.enu[ib])[:, 2]
-    print(f"OURS vs golden-batch: rmse {r1:.2f} max {e1.max():.1f} "
+    print(f"{tag} vs golden-batch: rmse {r1:.2f} max {e1.max():.1f} "
           f"median {np.median(e1):.2f}")
     print(f"  horiz rmse {np.sqrt((h**2).mean()):.2f} max {h.max():.1f} | "
-          f"vert rmse {np.sqrt((v**2).mean()):.2f} "
-          f"(smooth synthetic-station atmosphere hump — see module doc)")
-    print(f"offset {off.round(2)}; shape rmse {r2:.2f} max {e2.max():.1f} "
-          f"median {np.median(e2):.2f}")
-    np.save("/tmp/our_batch_p.npy", p)
+          f"vert rmse {np.sqrt((v**2).mean()):.2f}")
+    print(f"  offset {off.round(2)}; shape rmse {r2:.2f} max {e2.max():.1f} "
+          f"median {np.median(e2):.2f}", flush=True)
+    return r1
+
+
+def main(lm_iters=(40, 12, 8, 8), pcg_iters=250, atm=False):
+    sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
+    bt = read_result_csv("/root/reference/result/tc_batch_result.csv")
+    g = _load_epochs()
+    p_odo = sw.enu
+    q_odo = np.asarray(quat.from_ypr(jnp.asarray(np.deg2rad(sw.ypr_deg))))
+    cfg = GlioConfig()
+    prob = B.build_problem(cfg, p_odo, q_odo, sw.time, g, ANCHOR, 0.0, STATION)
+    t0 = time.time()
+    if atm:
+        # Gauss-Markov zenith-bias chain A/B (VERDICT r2 item 4): the
+        # smooth vertical hump is the synthesized station's missing
+        # atmosphere; a per-keyframe GM bias targets exactly the
+        # time-correlated component the round-2 per-epoch regression
+        # could not separate from NLOS scatter.
+        p, q, z, costs = B.optimize_batch_atm(
+            cfg, prob, thresholds=(1e9, 10.0, 8.0, 6.0),
+            lm_iters=lm_iters, robust=ROBUST)
+        print("z stats: mean", float(np.mean(np.asarray(z))), "std",
+              float(np.std(np.asarray(z))), flush=True)
+    else:
+        p, q, costs = B.optimize_batch(
+            cfg, prob, thresholds=(1e9, 10.0, 8.0, 6.0),
+            lm_iters=lm_iters, pcg_iters=pcg_iters, robust=ROBUST)
+    p = np.asarray(p)
+    print("solve", round(time.time() - t0, 1), "s; costs",
+          [round(c) for c in costs], flush=True)
+    _report("OURS(atm)" if atm else "OURS", p, sw, bt)
+    np.save("/tmp/our_batch_p_atm.npy" if atm else "/tmp/our_batch_p.npy", p)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(atm="atm" in sys.argv[1:])

@@ -73,6 +73,10 @@ def child(piece: str):
     if piece == "assemble":
         f = jax.jit(lambda p, q: B._assemble(p, q, prob, th, hw))
         dt = _time(f, p, q)
+    elif piece == "assemble_mixed":
+        f = jax.jit(lambda p, q: B._assemble(p, q, prob, th, hw,
+                                             mixed=True))
+        dt = _time(f, p, q)
     elif piece in ("solve_cr", "solve_cholpcg"):
         band, grad = jax.jit(
             lambda p, q: B._assemble(p, q, prob, th, hw))(p, q)
@@ -85,8 +89,10 @@ def child(piece: str):
         f = jax.jit(lambda p, q: B._total_cost(p, q, prob, th))
         dt = _time(f, p, q)
     elif piece == "weights":
-        f = jax.jit(lambda p, q: (B._rel_weights(p, q, prob, rob),
-                                  B._dd_weights(p, prob, th, rob)))
+        # Weights are now derived inside the assembly pass; time the
+        # combined robust assembly instead.
+        f = jax.jit(lambda p, q: B._assemble_robust(
+            p, q, prob, th, hw, False, rob, True)[:3])
         dt = _time(f, p, q)
     elif piece == "lm_iter":
         # One full robust LM iteration (what solve_batch_once scans).
@@ -104,8 +110,8 @@ if __name__ == "__main__":
     if len(sys.argv) > 1:
         child(sys.argv[1])
         sys.exit(0)
-    pieces = ["assemble", "solve_cr", "solve_cholpcg", "cost", "weights",
-              "lm_iter", "stage"]
+    pieces = ["assemble", "assemble_mixed", "solve_cr", "solve_cholpcg",
+              "cost", "weights", "lm_iter", "stage"]
     out = {}
     for pc in pieces:
         res = subprocess.run([sys.executable, _os.path.abspath(__file__), pc],

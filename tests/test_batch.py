@@ -170,8 +170,13 @@ def test_doppler_residuals_zero_at_truth():
     for e in range(E):
         li = left[e]
         ratio = (kf_time[li + 1] - gnss.time[e]) / kf_dt
-        v_i = (p_true[min(li + 1, T - 1)] - p_true[max(li - 1, 0)]) / (2 * kf_dt)
-        v_j = (p_true[min(li + 2, T - 1)] - p_true[li]) / (2 * kf_dt)
+        # Actual-interval central differences (the estimator uses
+        # prob.kf_time spans, correct at the boundary keyframes too).
+        im1, ip2 = max(li - 1, 0), min(li + 2, T - 1)
+        v_i = (p_true[li + 1] - p_true[im1]) / (kf_time[li + 1]
+                                                - kf_time[im1])
+        v_j = (p_true[ip2] - p_true[li]) / max(kf_time[ip2]
+                                               - kf_time[li], 1e-3)
         p_loc = ratio * p_true[li] + (1 - ratio) * p_true[li + 1]
         v_loc = ratio * v_i + (1 - ratio) * v_j
         R = np.asarray(C.ecef2enu_rotmat(C.ecef2llh(jnp.asarray(ANCHOR)))).T

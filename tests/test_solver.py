@@ -165,3 +165,40 @@ class TestCyclicReduction:
         x = banded.cyclic_reduction_solve(band, b)
         r = b - banded.band_matvec(band, x)
         assert float(jnp.linalg.norm(r) / jnp.linalg.norm(b)) < 1e-10
+
+
+def test_cyclic_reduction_mixed_matches_f64():
+    """Equilibrated f32 CR + f64 refinement reaches ~1e-8 step accuracy
+    on a Marquardt-damped stiff band (the production batch system)."""
+    rng = np.random.default_rng(12)
+    T, D, hw = 96, 6, 3
+    B = 2 * hw + 1
+    band = np.zeros((T, B, D, D))
+    for r in range(1, hw + 1):
+        for t in range(T - r):
+            J = np.zeros((6, 2 * D))
+            Rq = rng.normal(size=(3, 3)) * 0.3 + np.eye(3)
+            J[0:3, 3:6] = -1e4 * Rq
+            J[0:3, D + 3:D + 6] = 1e4 * Rq
+            J[3:6, 0:3] = -20.0 * np.eye(3)
+            J[3:6, D:D + 3] = 20.0 * np.eye(3)
+            H = J.T @ J
+            band[t, hw] += H[:D, :D]
+            band[t, hw + r] += H[:D, D:]
+            band[t + r, hw - r] += H[D:, :D]
+            band[t + r, hw] += H[D:, D:]
+    for t in range(0, T, 3):
+        los = rng.normal(size=(4, 3))
+        los /= np.linalg.norm(los, axis=1, keepdims=True)
+        band[t, hw, :3, :3] += 0.1 * los.T @ los
+    for t in range(T):
+        d = np.diag(band[t, hw]).copy()
+        band[t, hw] += 1e-4 * np.diag(np.maximum(d, 1.0))
+    b = rng.normal(size=(T, D))
+    band = jnp.asarray(band)
+    b = jnp.asarray(b)
+    x_ref = banded.cyclic_reduction_solve(band, b)
+    x_mix = banded.cyclic_reduction_solve_mixed(band, b, refine=2)
+    scale = float(jnp.max(jnp.abs(x_ref)))
+    err = float(jnp.max(jnp.abs(x_mix - x_ref))) / scale
+    assert err < 1e-7, err
