@@ -115,6 +115,14 @@ class EstimatorConfig:
     # RTK re-anchor instead. Also clamps the finite-difference velocity
     # seeds after a snap.
     reset_max_speed: float = 30.0
+    # Disagreement (m) between the fused tail and an INDEPENDENT per-epoch
+    # RTK DD fix beyond which the fused trajectory itself is deemed broken
+    # (the robust batch locked out the true GNSS positions as outliers):
+    # triggers a reset even below reset_drift_threshold, and routes it to
+    # the direct-fix re-anchor instead of snapping to the compromised
+    # fused tail. The fix carries metre-level noise, so this sits well
+    # above the DD floor but far below reset_drift_threshold.
+    reset_fix_disagree: float = 8.0
     # --- Gauss-Markov zenith atmospheric-bias chain (batch variant
     # optimize_batch_atm): correlation time (s), stationary sigma (m of
     # zenith delay), and the weak absolute prior sigma fixing the gauge.

@@ -123,6 +123,8 @@ def parse_nav_native(path: str):
     out = {}
     for i in range(n):
         sys_c = chr(sysc[i])
+        if sys_c == "R":       # GLONASS → parse_nav_glo_native
+            continue
         b = body[i]
         toe = b[8]
         toes = b[8]
@@ -149,3 +151,57 @@ def parse_nav_native(path: str):
     for sat in out:
         out[sat].sort(key=lambda e: e.week * 604800.0 + e.toe)
     return out
+
+
+def parse_nav_glo_native(path: str):
+    """Native-decode the GLONASS 'R' records of a RINEX 3 nav file →
+    same {sat: [GloEphemeris]} as ``rinex.parse_nav_glo`` (4-line
+    state-vector records; body[0..11] = x/vx/ax/health, y/vy/ay/freq#,
+    z/vz/az/age in km; UTC epoch → GPS with the date's leap seconds)."""
+    from .rinex import GloEphemeris, civil2gps, gps_utc_leap
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("librinex_fast.so not built")
+    lib.rinex_nav_open.restype = ctypes.c_void_p
+    lib.rinex_nav_open.argtypes = [ctypes.c_char_p]
+    lib.rinex_nav_count.restype = ctypes.c_long
+    lib.rinex_nav_count.argtypes = [ctypes.c_void_p]
+    lib.rinex_nav_records.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+    lib.rinex_nav_close.argtypes = [ctypes.c_void_p]
+
+    h = lib.rinex_nav_open(path.encode())
+    if not h:
+        raise FileNotFoundError(path)
+    try:
+        n = lib.rinex_nav_count(h)
+        sysc = np.zeros(n, np.int8)
+        prn = np.zeros(n, np.int32)
+        toc = np.zeros((n, 6), np.int32)
+        clock = np.zeros((n, 3))
+        body = np.zeros((n, 28))
+        lib.rinex_nav_records(h, sysc.ctypes.data, prn.ctypes.data,
+                              toc.ctypes.data, clock.ctypes.data,
+                              body.ctypes.data)
+    finally:
+        lib.rinex_nav_close(h)
+
+    glo = {}
+    for i in range(n):
+        if chr(sysc[i]) != "R":
+            continue
+        b = body[i]
+        y, mo, dd = int(toc[i][0]), int(toc[i][1]), int(toc[i][2])
+        week, tow = civil2gps(*toc[i])
+        toe = (315964800.0 + week * 604800.0 + tow
+               + gps_utc_leap(y, mo, dd))
+        sat = f"R{prn[i]:02d}"
+        glo.setdefault(sat, []).append(GloEphemeris(
+            prn=int(prn[i]), toe=toe,
+            tau_n=-clock[i][0], gamma_n=clock[i][1],
+            pos=np.array([b[0], b[4], b[8]]) * 1e3,
+            vel=np.array([b[1], b[5], b[9]]) * 1e3,
+            acc=np.array([b[2], b[6], b[10]]) * 1e3,
+            health=b[3], freq_num=int(b[7])))
+    for sat in glo:
+        glo[sat].sort(key=lambda e: e.toe)
+    return glo

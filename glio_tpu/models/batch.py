@@ -394,6 +394,13 @@ def _dd_row_jac(p, R_el, prob: BatchProblem, threshold, left, ratio,
             nz = jnp.abs(res) > 1e-12
             n = jnp.maximum(jnp.sum(nz), 1)
             rms = jnp.sqrt(jnp.sum(res * res) / n)
+            # NOTE: the gate stays ABSOLUTE across the anneal schedule —
+            # an attempt to ride it on `threshold` (open in the trusting
+            # first stage) was measured to break real-Whampoa parity:
+            # fully-weighted NLOS epochs drag the chain 24 m vertically
+            # (28.4 m vs 8.6 m RMSE). The robust lock-out this creates
+            # for a badly-initialized chain is instead handled at the
+            # pipeline level (reset_fix_disagree + RTK re-anchor).
             w_r = w_r * jnp.where(rms > robust.epoch_gate, 0.05, 1.0)
         wf = jax.lax.stop_gradient(jnp.where(valid, w_r, 1.0))
     else:
@@ -449,6 +456,17 @@ def _assemble_core(p, q, prob: BatchProblem, threshold, hw: int,
                    use_doppler: bool = False, w_rel=None, w_dd=None,
                    robust: "RobustOpts" = None, mixed: bool = False,
                    z=None):
+    # f32 matmuls must run at full f32 precision on TPU (bf16 default
+    # derails the LM — see banded.f32_matmul_precision).
+    with jax.default_matmul_precision("float32"):
+        return _assemble_core_impl(p, q, prob, threshold, hw, use_doppler,
+                                   w_rel, w_dd, robust, mixed, z)
+
+
+def _assemble_core_impl(p, q, prob: BatchProblem, threshold, hw: int,
+                        use_doppler: bool = False, w_rel=None, w_dd=None,
+                        robust: "RobustOpts" = None, mixed: bool = False,
+                        z=None):
     """Band + gradient assembly via analytic per-factor Jacobians.
 
     ``mixed=True`` is the TPU production path (VERDICT r2 weak #1): the
@@ -1113,6 +1131,13 @@ def _sms1_residuals(p, q, sms: Sms1Data):
 
 def _assemble_sms1_pose(p, q, prob: BatchProblem, sms: Sms1Data,
                         threshold, hw: int, mixed: bool = False):
+    with jax.default_matmul_precision("float32"):
+        return _assemble_sms1_pose_impl(p, q, prob, sms, threshold, hw,
+                                        mixed)
+
+
+def _assemble_sms1_pose_impl(p, q, prob: BatchProblem, sms: Sms1Data,
+                             threshold, hw: int, mixed: bool = False):
     """6-dof band + gradient for attitude + binary-plane + DD rows.
 
     Shared by the pose-only level-1 solver and the 15-dof level-1-with-IMU

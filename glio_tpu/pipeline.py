@@ -84,7 +84,8 @@ def _slice_epochs_fixed(g, t0, t1, n_out):
 
 def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
                                anchor, yaw, station,
-                               every: int = 40, fusion_span: int = 160):
+                               every: int = 40, fusion_span: int = 160,
+                               debug: bool = False):
     """Sliding window interleaved with online batch correction.
 
     Reference-parity for ``backendFusionThread`` (Estimator.cpp:5352 +
@@ -180,12 +181,16 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
         #     tail's GNSS epochs as outliers, so fused == window and
         #     signal (a) stays silent while the error grows unbounded.
         drift_thr = cfg.estimator.reset_drift_threshold
+        fix_gate = cfg.estimator.reset_fix_disagree
         vmax = cfg.estimator.reset_max_speed
-        p_fix = None
         g = ep.gnss
-        ei = int(np.searchsorted(np.asarray(g.time),
-                                 kf_time[t - 1])) - 1
-        if ei >= 0:
+
+        def dd_fix_at(t_query):
+            """Single-epoch RTK DD position at the epoch nearest t_query,
+            rotated into the local frame; None when no epoch solves."""
+            ei = int(np.searchsorted(np.asarray(g.time), t_query)) - 1
+            if ei < 0:
+                return None
             fx, _, ok, _ = rtk.solve_epoch_dd(
                 jnp.asarray(g.sat_pos[ei]), jnp.asarray(g.psr_rov[ei]),
                 jnp.asarray(g.psr_sta[ei]), jnp.asarray(g.valid[ei]),
@@ -193,17 +198,21 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
                 jnp.asarray(g.master[ei]), jnp.asarray(station),
                 jnp.asarray(g.elevation[ei]), jnp.asarray(g.snr[ei]),
                 jnp.asarray(anchor))
-            if bool(ok):
-                enu = np.asarray(C.ecef2enu(fx[None],
-                                            jnp.asarray(anchor)))[0]
-                sy, cy = np.sin(yaw), np.cos(yaw)
-                p_fix = np.array([[cy, sy, 0], [-sy, cy, 0],
-                                  [0, 0, 1.0]]) @ enu
+            if not bool(ok):
+                return None
+            enu = np.asarray(C.ecef2enu(fx[None], jnp.asarray(anchor)))[0]
+            sy, cy = np.sin(yaw), np.cos(yaw)
+            return np.array([[cy, sy, 0], [-sy, cy, 0], [0, 0, 1.0]]) @ enu
+
+        p_fix = dd_fix_at(kf_time[t - 1])
         drift = float(np.linalg.norm(
             np.asarray(w.p[-1]) - p_hist[t - 1]))
-        if p_fix is not None:
-            drift = max(drift, float(
-                np.linalg.norm(p_hist[t - 1] - p_fix)))
+        # Disagreement with the independent fix: the fused tail being far
+        # from a metre-accurate absolute position means the robust batch
+        # locked the true GNSS out as outliers (fused == diverged window,
+        # signal (a) silent) — its own, tighter gate.
+        fix_dis = (0.0 if p_fix is None
+                   else float(np.linalg.norm(p_hist[t - 1] - p_fix)))
         pk = p_hist[t - K:t]
         qk = q_hist[t - K:t]
         hop = (np.linalg.norm(np.diff(pk, axis=0), axis=-1) / kf_dt
@@ -215,11 +224,16 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
         # position spike into astronomic velocities).
         target_sane = bool(
             np.isfinite(pk).all() and hop.max() < vmax
-            and (p_fix is None
-                 or np.linalg.norm(pk[-1] - p_fix) < drift_thr))
+            and fix_dis <= fix_gate)
         did_reset = False
-        if drift > drift_thr and target_sane:
+        if debug:
+            print(f"[fusion t={t}] drift={drift:.2f} fix_dis={fix_dis:.2f}"
+                  f" hop_max={float(hop.max()):.2f} sane={target_sane}",
+                  flush=True)
+        if (drift > drift_thr or fix_dis > fix_gate) and target_sane:
             did_reset = True
+            if debug:
+                print(f"[fusion t={t}] RESET → fused tail", flush=True)
             vk = np.clip(np.gradient(pk, kf_dt, axis=0), -vmax, vmax)
             w = w._replace(p=jnp.asarray(pk), q=jnp.asarray(qk),
                            v=jnp.asarray(vk))
@@ -228,21 +242,46 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
                 prior_valid=jnp.asarray(False),
                 prior_sqrt_jac=jnp.zeros_like(base.prior_sqrt_jac),
                 prior_sqrt_res=jnp.zeros_like(base.prior_sqrt_res))
-        elif drift > drift_thr and p_fix is not None:
-            # Even the fused tail is broken: re-anchor from the direct
-            # RTK DD fix — an absolute position independent of every
-            # accumulated state (failure recovery; the ROS reference's
-            # equivalent is an operator restart).
+        elif (drift > drift_thr or fix_dis > fix_gate) \
+                and p_fix is not None:
+            # Even the fused tail is broken: re-anchor from direct RTK DD
+            # fixes — absolute positions independent of every accumulated
+            # state (failure recovery; the ROS reference's equivalent is
+            # an operator restart). One fix per window keyframe gives a
+            # kinematically consistent seed (finite-difference
+            # velocities); keyframes without a solvable epoch fall back
+            # to the newest fix.
             did_reset = True
+            if debug:
+                print(f"[fusion t={t}] RESET → direct RTK fix", flush=True)
             pk2 = np.repeat(p_fix[None], K, 0)
+            got = np.zeros(K, bool)
+            for j in range(K):
+                f = dd_fix_at(kf_time[max(0, t - K + j)])
+                if f is not None:
+                    pk2[j], got[j] = f, True
+            vk2 = (np.clip(np.gradient(pk2, kf_dt, axis=0), -vmax, vmax)
+                   if got.all() else np.zeros((K, 3)))
+            # Biases re-start at zero: the diverged solve absorbed part
+            # of the (possibly faulted) IMU signal into ba/bg, and a
+            # stale bias drives a fresh velocity ramp right after the
+            # snap; the SpeedBias prior re-estimates them from scratch.
             w = w._replace(
                 p=jnp.asarray(pk2),
-                v=jnp.zeros_like(w.v))
+                v=jnp.asarray(vk2),
+                ba=jnp.zeros_like(w.ba),
+                bg=jnp.zeros_like(w.bg))
             base = base._replace(
                 window=w,
                 prior_valid=jnp.asarray(False),
                 prior_sqrt_jac=jnp.zeros_like(base.prior_sqrt_jac),
-                prior_sqrt_res=jnp.zeros_like(base.prior_sqrt_res))
+                prior_sqrt_res=jnp.zeros_like(base.prior_sqrt_res),
+                # The local map was built at diverged poses (fused ==
+                # diverged here, so the ring was "corrected" with broken
+                # positions): associating against it would drag the
+                # re-anchored window straight back. Drop it; the ring
+                # repopulates over the next M keyframes.
+                map_slot_valid=jnp.zeros_like(base.map_slot_valid))
             p_hist[t - K:t] = pk2
         if did_reset and hasattr(carry, "ddt"):
             # Root cause of the round-2 "window-Doppler slows

@@ -21,11 +21,27 @@ Solver hierarchy (all exact or iteratively refined, chosen per context):
   on stiff chains, so single-chip paths prefer the direct solvers.
 """
 
-from functools import partial
+from functools import partial, wraps
 from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+
+def f32_matmul_precision(fn):
+    """Trace `fn` under full-f32 matmul precision.
+
+    TPU f32 matmuls default to bf16 MXU passes (~3 significant digits) —
+    enough to DERAIL the mixed-precision solvers: measured on the full
+    Whampoa problem, the batch LM stalled at 20 m RMSE on TPU while the
+    identical code reached 8.6 m on CPU (true-f32 matmuls). "highest"
+    uses the 6-pass bf16 scheme (f32-equivalent), still ~6× cheaper than
+    emulated f64."""
+    @wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+    return wrapper
 
 
 class BandedSystem(NamedTuple):
@@ -355,6 +371,7 @@ def band_to_tridiag(band):
     return Asup, Bsup, Csup, N, S
 
 
+@f32_matmul_precision
 def tridiag_cr_solve(A, Bm, C, r):
     """Block-tridiagonal solve via cyclic reduction, multi-RHS.
 
@@ -468,6 +485,7 @@ def cyclic_reduction_solve(band, b):
 
 
 @partial(jax.jit, static_argnames=("refine",))
+@f32_matmul_precision
 def cyclic_reduction_solve_mixed(band, b, refine: int = 2):
     """Equilibrated f32 cyclic reduction + f64 iterative refinement.
 

@@ -262,8 +262,31 @@ void* rinex_nav_open(const char* path) {
   while (fgets(line, sizeof line, f)) {
     int len = (int)strlen(line);
     char sys = line[0];
-    if (sys == 'R') {  // GLONASS: 4-line state-vector records, skip.
-      for (int i = 0; i < 3; i++) fgets(line, sizeof line, f);
+    if (sys == 'R') {
+      // GLONASS: 4-line state-vector records (header + 3 body lines of
+      // 4 fields: x/vx/ax/health, y/vy/ay/freq#, z/vz/az/age); stored in
+      // body[0..11], rest zero.  Epoch is UTC — the python wrapper does
+      // the UTC(SU)→GPS conversion (rinex.py parse_nav 'R' branch).
+      NavRecord r{};
+      r.sys = sys;
+      r.prn = atoi(std::string(line + 1, 2).c_str());
+      r.toc_y = atoi(std::string(line + 4, 4).c_str());
+      r.toc_mo = atoi(std::string(line + 9, 2).c_str());
+      r.toc_d = atoi(std::string(line + 12, 2).c_str());
+      r.toc_h = atoi(std::string(line + 15, 2).c_str());
+      r.toc_mi = atoi(std::string(line + 18, 2).c_str());
+      r.toc_s = atoi(std::string(line + 21, 2).c_str());
+      int len0 = (int)strlen(line);
+      for (int k = 0; k < 3; k++)
+        r.clock[k] = dfield(line, 23 + 19 * k, 19, len0);
+      bool ok = true;
+      for (int l = 0; l < 3 && ok; l++) {
+        if (!fgets(line, sizeof line, f)) { ok = false; break; }
+        int ll = (int)strlen(line);
+        for (int k = 0; k < 4; k++)
+          r.body[l * 4 + k] = dfield(line, 4 + 19 * k, 19, ll);
+      }
+      if (ok) res->records.push_back(r);
       continue;
     }
     if (sys != 'G' && sys != 'C' && sys != 'E') continue;

@@ -251,6 +251,26 @@ class TestNativeDecoder:
                     va, vb = getattr(ea, f), getattr(eb, f)
                     assert (np.isnan(va) and np.isnan(vb)) or va == vb
 
+    def test_native_glo_nav_matches_python(self):
+        # GLONASS 4-line state-vector records through the native decoder
+        # (closes the SURVEY #20 'native nav skips R records' gap);
+        # python parser = behavioral reference (rinex.c:1180-1240 v3 nav).
+        from glio_tpu.gnss import native
+        if not native.available():
+            pytest.skip("librinex_fast.so not built")
+        a = native.parse_nav_glo_native(NAV)
+        b = rinex.parse_nav_glo(NAV)
+        assert set(a.keys()) == set(b.keys()) and len(a) > 10
+        for sat in a:
+            assert len(a[sat]) == len(b[sat])
+            for ea, eb in zip(a[sat], b[sat]):
+                assert ea.toe == eb.toe and ea.freq_num == eb.freq_num
+                for f in ("tau_n", "gamma_n", "health"):
+                    assert getattr(ea, f) == getattr(eb, f)
+                for f in ("pos", "vel", "acc"):
+                    np.testing.assert_array_equal(getattr(ea, f),
+                                                  getattr(eb, f))
+
     def test_native_matches_python(self):
         from glio_tpu.gnss import native
         if not native.available():

