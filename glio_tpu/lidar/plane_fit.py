@@ -46,14 +46,32 @@ def fit_planes(neigh: jnp.ndarray, neigh_valid: jnp.ndarray,
     """
     dtype = neigh.dtype
     m = neigh_valid.astype(dtype)[..., None]           # (Q, K, 1)
-    A = neigh * m
-    b = -m[..., 0]                                     # (Q, K)
-    # Normal equations: (AᵀA) n = Aᵀ b, 3×3 per query.
-    AtA = jnp.einsum("qki,qkj->qij", A, A)
-    Atb = jnp.einsum("qki,qk->qi", A, b)
+    # Solve the WORLD-frame least squares min ‖A n + 1‖² without ever
+    # forming AᵀA on raw world coordinates: at a few hundred metres from
+    # the origin the ~|x|² normal-equation entries cancel down to the
+    # metre-scale local geometry, costing f32 most of its mantissa (and
+    # a bf16 MXU pass everything). Centring A on the valid-neighbor
+    # centroid c makes the cross term vanish EXACTLY (A_cᵀ1 = 0), so
+    #   AᵀA = Cov + cnt·c cᵀ,   Aᵀb = −cnt·c,
+    # and the rank-1 world term is absorbed analytically by
+    # Sherman–Morrison instead of numerically:
+    #   n = −cnt·y / (1 + cnt·cᵀy),  y = (Cov + εI)⁻¹ c.
+    # (cᵀy = cᵀB⁻¹c ≥ 0 since B is SPD — the denominator never cancels.)
+    cnt = jnp.maximum(jnp.sum(m, axis=-2), 1.0)        # (Q, 1)
+    c = jnp.sum(neigh * m, axis=-2) / cnt              # (Q, 3)
+    dc = (neigh - c[:, None, :]) * m
+    cov = jnp.einsum("qki,qkj->qij", dc, dc)
     # Tikhonov floor keeps degenerate sets solvable; they are rejected by
-    # the planarity check anyway.
-    n_raw = solve_3x3(AtA, Atb, eps=eps)               # (Q, 3)
+    # the planarity check anyway. The tiny 3×3 solve + SM scalars run in
+    # f64 (O(Q·50) flops — negligible even emulated): for exactly planar
+    # neighbors Cov is numerically rank-2 and the f32 Cramer cofactors
+    # lose ~3 digits of the plane offset; the f64 solve keeps the
+    # λ₀-cancellation exact (measured 9e-3 → 5e-7 d error).
+    solve_dt = jnp.float64 if dtype == jnp.float32 else dtype
+    y = solve_3x3(cov.astype(solve_dt), c.astype(solve_dt), eps=eps)
+    cty = jnp.einsum("qi,qi->q", c.astype(solve_dt), y)
+    cnt64 = cnt.astype(solve_dt)
+    n_raw = (-cnt64 * y / (1.0 + cnt64[..., 0] * cty)[:, None]).astype(dtype)
     norm = jnp.linalg.norm(n_raw, axis=-1)
     good_norm = norm > eps
     inv_norm = 1.0 / jnp.where(good_norm, norm, 1.0)
@@ -61,15 +79,19 @@ def fit_planes(neigh: jnp.ndarray, neigh_valid: jnp.ndarray,
     d = inv_norm                                       # from A n = −1
 
     # Planarity: all valid neighbors within plane_tol of the plane.
-    dist = jnp.abs(jnp.einsum("qki,qi->qk", neigh, normal) + d[:, None])
+    # Centred evaluation: |n̂·x + d| = |n̂·(x − c) + s|, s = n̂·c + d.
+    s = jnp.einsum("qi,qi->q", c, normal) + d
+    dist = jnp.abs(jnp.einsum("qki,qi->qk",
+                              neigh - c[:, None, :], normal)
+                   + s[:, None])
     dist = jnp.where(neigh_valid, dist, 0.0)
     planar = jnp.all(dist <= plane_tol, axis=-1)
 
     k_count = jnp.sum(neigh_valid, axis=-1)
     valid = planar & good_norm & (k_count >= 3)
 
-    # Reference weight model (LidarOdometry.cpp:389-396).
-    pd = jnp.einsum("qi,qi->q", query, normal) + d
+    # Reference weight model (LidarOdometry.cpp:389-396); centred n̂·q + d.
+    pd = jnp.einsum("qi,qi->q", query - c, normal) + s
     qn = jnp.linalg.norm(query, axis=-1)
     weight = 1.0 - 0.9 * jnp.abs(pd) / jnp.sqrt(jnp.sqrt(jnp.maximum(qn, eps)))
     return PlaneFit(normal=normal, d=d, valid=valid, weight=weight)

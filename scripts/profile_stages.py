@@ -163,3 +163,33 @@ def solve(H, b):
 
 
 print("75-dim refined solve   %.2f ms" % timeit(solve, H, b))
+
+# --- 6. full marginalization (15-dof drop from the 75-dim window H) ---
+from glio_tpu.solver import marginalization
+
+
+@jax.jit
+def marg(H, b):
+    pr = marginalization.marginalize(H, b, 15)
+    return pr.sqrt_jac, pr.sqrt_res
+
+
+print("marginalize 75→60      %.2f ms" % timeit(marg, H, b))
+
+
+@jax.jit
+def eigh15(H):
+    return jnp.linalg.eigh(H[:15, :15].astype(jnp.float32))
+
+
+print("  15-dim f32 eigh      %.2f ms" % timeit(eigh15, H))
+
+# --- 7. f64 window residual evaluation (cost check per LM accept) ---
+@jax.jit
+def quat_chain(q):
+    # Stand-in for the f64 quaternion-heavy residual path: K·S rotations.
+    return quat.rotate(q[:, None, :], jnp.ones((K, S, 3)))
+
+
+print("K·S f64 quat rotate    %.2f ms" % timeit(
+    quat_chain, jnp.tile(jnp.array([1.0, 0, 0, 0]), (K, 1))))
