@@ -1098,13 +1098,18 @@ def build_sms1(cfg: GlioConfig, scans, scans_valid, p_odo, q_odo,
         if padn:
             ii = jnp.concatenate([ii, jnp.zeros(padn, jnp.int32)])
             jj = jnp.concatenate([jj, jnp.ones(padn, jnp.int32)])
-        P, N, Cc, Sc, Ms = pair_assoc(ii, jj)
-        for b, (i, j, r) in enumerate(blk):
-            pts[i, r] = np.asarray(P[b])
-            nrm[i, r] = np.asarray(N[b])
-            cen[i, r] = np.asarray(Cc[b])
-            sco[i, r] = np.asarray(Sc[b])
-            msk[i, r] = np.asarray(Ms[b])
+        # ONE device->host transfer per chunk (per-element np.asarray was
+        # a remote round trip per pair per field: 296 s for T=48 on the
+        # tunneled backend), then vectorized host scatter.
+        P, N, Cc, Sc, Ms = jax.device_get(pair_assoc(ii, jj))
+        bi = np.array([b[0] for b in blk])
+        br = np.array([b[2] for b in blk])
+        nb = len(blk)
+        pts[bi, br] = P[:nb]
+        nrm[bi, br] = N[:nb]
+        cen[bi, br] = Cc[:nb]
+        sco[bi, br] = Sc[:nb]
+        msk[bi, br] = Ms[:nb]
     return Sms1Data(jnp.asarray(pts), jnp.asarray(nrm), jnp.asarray(cen),
                     jnp.asarray(sco), jnp.asarray(msk))
 
