@@ -2,15 +2,29 @@
 
 Replaces every PCL KD-tree ``nearestKSearch`` in the reference
 (``LidarOdometry.cpp:482,364``; ``Estimator.cpp:2056,3652``) with a
-brute-force **tiled top-k** that rides the MXU: squared distances between a
-query tile and a map tile are one matmul (‖q−p‖² = ‖q‖² + ‖p‖² − 2 qᵀp),
-and a running top-k merge over map tiles keeps VMEM bounded.  For map sizes
-the reference uses (≈10⁴–10⁵ points after 0.4 m voxel downsampling) this is
-faster on TPU than any tree: zero pointer chasing, perfectly regular.
+brute-force **subgroup-pruned exact top-k** shaped for XLA's fusion
+model rather than the MXU.
 
-A voxel-hash bucketed variant can prune candidates further; measurement on
-v5e showed the plain tiled matmul already beats the per-frame budget by
-orders of magnitude, so the simple form is the default.
+Design notes (all MEASURED in-replay on v5e — isolated microbenches on
+the tunneled backend pipeline dispatches and report fantasy numbers):
+
+* The classic ‖q‖²+‖p‖²−2qᵀp matmul expansion is a PESSIMIZATION here:
+  XLA cannot fuse a reduction into a dot output, so the (Q, N) distance
+  matrix (hundreds of MB) is materialized, copied, and re-read —
+  6-7 ms/keyframe, the window's single largest fixed cost. Computing
+  d² as a broadcast diff² instead lets the multiply fuse with the
+  group-min reduce (one ``multiply_reduce_fusion``), and D=3 keeps the
+  VPU FLOPs trivial.
+* ``lax.top_k`` is a per-row sort (~4 ms at (Q, N/group)); k masked
+  argmins are plain reductions (~20 µs).
+* Index-based point gathers of Q·k rows lower to a serialized
+  dynamic-slice loop (~4 ms); the candidate gather is expressed as a
+  one-hot einsum so it rides the MXU instead.
+
+Net: 6-7 ms → ~2.3 ms per keyframe for the (Q=5120, N=20480) window
+association query, exact (0.0 deviation vs brute force — the direct
+diff² is also numerically better than the cancellation-prone matmul
+expansion at world-scale coordinates).
 
 Also provides the voxel-grid downsampling that replaces
 ``pcl::VoxelGrid`` (``LidarOdometry.cpp:306-314``).
@@ -24,35 +38,31 @@ import jax.numpy as jnp
 BIG = jnp.inf
 
 
-@partial(jax.jit, static_argnames=("k", "tile", "group"))
+@partial(jax.jit, static_argnames=("k", "group"))
 def knn(query: jnp.ndarray, query_valid: jnp.ndarray,
         points: jnp.ndarray, points_valid: jnp.ndarray,
-        k: int = 5, tile: int = 4096, group: int = 16):
+        k: int = 5, group: int = 32):
     """k nearest neighbors of each query among valid map points.
 
-    Hierarchical EXACT top-k per tile (measured 8.6 → ~1 ms for the full
-    window query on v5e — ``lax.top_k`` over the raw (Q, tile) rows was
-    the window's dominant fixed cost, not the distance matmul):
+    Exact two-stage selection:
 
-    1. squared distances for one map tile via a (Q,3)@(3,tile) matmul,
-    2. min-reduce over `group`-point subgroups → (Q, tile/group),
-    3. top-k SUBGROUPS by min distance (a `group`× narrower sort),
-    4. exact top-k over the k·group member candidates + running best.
+    1. fused broadcast diff² + min-reduce over `group`-point subgroups
+       → (Q, G) subgroup minima (the (Q, N) distances never leave VMEM),
+    2. k masked argmins pick the k closest subgroups; their members are
+       fetched by a one-hot MXU einsum and the final k neighbors fall
+       out of k more masked argmins over the ≤ k·group candidates.
 
-    Exactness: any subgroup whose min distance is < the true k-th
-    nearest distance contains a true top-k point (its argmin would
-    otherwise itself be a closer point), so at most k subgroups qualify
-    and the top-k-by-min subgroup set covers every true top-k point (up
-    to equal-distance ties, which are arbitrary in the reference's
-    KD-tree too).
+    Exactness: if a point of true rank j ≤ k lived in a subgroup outside
+    the selected top-k-by-min set, the k selected subgroups would each
+    contain a strictly closer point — contradiction; ties are arbitrary
+    exactly as in the reference's KD-tree.
 
     Args:
       query: (Q, 3) f32 query points (world frame).
       query_valid: (Q,) bool.
-      points: (N, 3) f32 map points, N padded to a multiple of `tile`.
+      points: (N, 3) f32 map points (padded internally to `group`).
       points_valid: (N,) bool.
       k: neighbors per query (reference uses 5).
-      tile: map tile size per scan step.
       group: subgroup size for the hierarchical selection.
 
     Returns (dists², idx): (Q, k) squared distances (inf for missing) and
@@ -60,65 +70,70 @@ def knn(query: jnp.ndarray, query_valid: jnp.ndarray,
     """
     Q = query.shape[0]
     N = points.shape[0]
-    pad = (-N) % tile
+    pad = (-N) % group
     if pad:
         points = jnp.concatenate([points, jnp.zeros((pad, 3), points.dtype)])
         points_valid = jnp.concatenate(
             [points_valid, jnp.zeros((pad,), bool)])
         N += pad
-    n_tiles = N // tile
-    # Static edge-case guards: subgroup must divide the tile, and with
-    # fewer subgroups than k the selection is exhaustive (still exact).
-    group = max(1, min(group, tile))
-    while tile % group:
+    group = max(1, min(group, N))
+    while N % group:
         group -= 1
-    G = tile // group
+    G = N // group
     kg = min(k, G)
 
-    # Joint centering: d² is translation-invariant, but evaluating
-    # ‖q‖²+‖p‖²−2qᵀp at world coordinates hundreds of metres from the
-    # origin cancels ~1e5 m² terms to sub-m² results — f32 keeps only
-    # ~0.02 m² there and one bf16 MXU pass nothing at all. Centering on
-    # the valid-query mean keeps magnitudes at the local extent.
-    nq = jnp.maximum(jnp.sum(query_valid), 1)
-    center = jnp.sum(jnp.where(query_valid[:, None], query, 0.0),
-                     axis=0) / nq
-    query = query - center
-    points = points - center
+    # Stage 1: fused diff² + subgroup-min. (Q, G, group, 3) is virtual —
+    # the multiply fuses into the min reduction.
+    pg = points.reshape(G, group, 3)
+    pvg = points_valid.reshape(G, group)
+    diff = query[:, None, None, :] - pg[None, :, :, :]
+    d2 = jnp.sum(diff * diff, -1)
+    d2 = jnp.where(pvg[None], d2, BIG)
+    gm = jnp.min(d2, -1)                                  # (Q, G)
 
-    q_sq = jnp.sum(query * query, axis=-1, keepdims=True)      # (Q, 1)
+    # k masked argmins (sort-free) select the candidate subgroups.
+    iota_G = jax.lax.broadcasted_iota(jnp.int32, (Q, G), 1)
+    sels = []
+    g = gm
+    for _ in range(kg):
+        a = jnp.argmin(g, 1).astype(jnp.int32)
+        sels.append(a)
+        g = jnp.where(iota_G == a[:, None], BIG, g)
+    sel = jnp.stack(sels, 1)                              # (Q, kg)
 
-    def body(carry, t):
-        best_d, best_i = carry
-        start = t * jnp.int32(tile)
-        p = jax.lax.dynamic_slice(points, (start, jnp.int32(0)), (tile, 3))
-        pv = jax.lax.dynamic_slice(points_valid, (start,), (tile,))
-        p_sq = jnp.sum(p * p, axis=-1)                         # (tile,)
-        # MXU (full-f32 passes: bf16 cross terms would mis-rank
-        # sub-metre neighborhoods at ~10 m² error on 50 m points).
-        with jax.default_matmul_precision("float32"):
-            cross = query @ p.T
-        d2 = q_sq + p_sq[None, :] - 2.0 * cross                # (Q, tile)
-        d2 = jnp.where(pv[None, :], d2, BIG)
-        d2g = d2.reshape(Q, G, group)
-        gmin = jnp.min(d2g, axis=-1)                           # (Q, G)
-        _, gsel = jax.lax.top_k(-gmin, kg)                     # (Q, kg)
-        cand_d = jnp.take_along_axis(
-            d2g, gsel[:, :, None], axis=1).reshape(Q, kg * group)
-        member = jax.lax.broadcasted_iota(jnp.int32, (Q, kg, group), 2)
-        cand_i = (start + gsel[:, :, None] * group + member
-                  ).reshape(Q, kg * group)
-        # Merge with running best: exact top-k of k·group + k candidates.
-        cat_d = jnp.concatenate([best_d, cand_d], axis=1)
-        cat_i = jnp.concatenate([best_i, cand_i], axis=1)
-        neg_top, arg = jax.lax.top_k(-cat_d, k)
-        best_d = -neg_top
-        best_i = jnp.take_along_axis(cat_i, arg, axis=1)
-        return (best_d, best_i), None
+    # Stage 2: fetch the selected subgroups' members via one-hot einsum
+    # (an index gather of Q·k rows lowers to a serial slice loop; the
+    # one-hot contraction is one MXU pass). Validity rides along as a
+    # fourth packed component.
+    packed = jnp.concatenate(
+        [points, jnp.where(points_valid, 1.0, 0.0)[:, None]
+         .astype(points.dtype)], 1)
+    packed = packed.reshape(G, group * 4)
+    oh = (sel[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (Q, kg, G), 2)).astype(points.dtype)
+    with jax.default_matmul_precision("float32"):
+        rows = jnp.einsum("qkG,Gf->qkf", oh, packed)
+    rows = rows.reshape(Q, kg, group, 4)
+    cp = rows[..., :3]
+    cvalid = rows[..., 3] > 0.5
+    dc = query[:, None, None, :] - cp
+    d2c = jnp.where(cvalid, jnp.sum(dc * dc, -1), BIG).reshape(Q, kg * group)
 
-    init = (jnp.full((Q, k), BIG, query.dtype),
-            jnp.full((Q, k), -1, jnp.int32))
-    (best_d, best_i), _ = jax.lax.scan(body, init, jnp.arange(n_tiles, dtype=jnp.int32))
+    member = jax.lax.broadcasted_iota(jnp.int32, (Q, kg, group), 2)
+    cand_i = (sel[:, :, None] * group + member).reshape(Q, kg * group)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (Q, kg * group), 1)
+    bd, bi = [], []
+    dd = d2c
+    for _ in range(k):
+        a = jnp.argmin(dd, 1).astype(jnp.int32)
+        hit = iota_c == a[:, None]
+        bd.append(jnp.min(dd, 1))
+        # One-hot extraction — d[rows, a] per-row gathers are slow.
+        bi.append(jnp.sum(jnp.where(hit, cand_i, 0), 1))
+        dd = jnp.where(hit, BIG, dd)
+    best_d = jnp.stack(bd, 1)                             # (Q, k)
+    best_i = jnp.stack(bi, 1).astype(jnp.int32)
+
     best_d = jnp.where(query_valid[:, None], best_d, BIG)
     best_i = jnp.where(query_valid[:, None] & jnp.isfinite(best_d),
                        best_i, -1)

@@ -1065,7 +1065,7 @@ def build_sms1(cfg: GlioConfig, scans, scans_valid, p_odo, q_odo,
             w_j = (quat.rotate(qj, scans[j].astype(F64)) + pj).astype(
                 jnp.float32)
             d2, idx = neighbors.knn(w_i, scans_valid[i], w_j,
-                                    scans_valid[j], k=5, tile=1024)
+                                    scans_valid[j], k=5)
             neigh = neighbors.gather_neighbors(w_j, idx)
             nrm, cent, planarity, ok = plane_fit.fit_planes_centroid(
                 neigh, idx >= 0, min_planarity=0.8)

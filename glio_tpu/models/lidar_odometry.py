@@ -100,7 +100,7 @@ def make_odometry(cfg: GlioConfig):
             p_c, q_c, _ = carry
             world_q = (quat.rotate(q_c, scan64) + p_c).astype(F32)
             d2, idx = neighbors.knn(world_q, scan_valid, map_flat, mv_flat,
-                                    k=5, tile=2048)
+                                    k=5)
             neigh = neighbors.gather_neighbors(map_flat, idx)
             neigh_ok = idx >= 0
             fit = plane_fit.fit_planes(neigh, neigh_ok, world_q,

@@ -85,7 +85,7 @@ def verify_loop(cfg: GlioConfig, scan_cur, scan_cur_valid, scans_old,
     fitness = jnp.asarray(1e9, F64)
     for _ in range(3):  # ICP outer rounds
         world_q = (quat.rotate(q_c, scan64) + p_c).astype(jnp.float32)
-        d2, idx = neighbors.knn(world_q, sv, map_flat, mv, k=5, tile=2048)
+        d2, idx = neighbors.knn(world_q, sv, map_flat, mv, k=5)
         neigh = neighbors.gather_neighbors(map_flat, idx)
         fit = plane_fit.fit_planes(neigh, idx >= 0, world_q, plane_tol=0.1)
         good = fit.valid & sv & (fit.weight > 0.4)

@@ -224,7 +224,7 @@ def _associate(cfg: GlioConfig, window: WindowState, window_scans,
     valid_flat = window_scan_valid.reshape(K * S)
 
     d2, idx = neighbors.knn(world32, valid_flat, map_points, map_valid,
-                            k=5, tile=2048)
+                            k=5)
     neigh = neighbors.gather_neighbors(map_points, idx)   # (K*S, 5, 3)
     neigh_ok = (idx >= 0) & (d2 <= est.kd_max_radius ** 2)
     fit = plane_fit.fit_planes(neigh, neigh_ok, world32,

@@ -29,7 +29,7 @@ def main():
     pv = jnp.ones(20480, bool)
 
     # Correctness on hardware first.
-    d1, i1 = neighbors.knn(q, qv, p, pv, k=5, tile=2048)
+    d1, i1 = neighbors.knn(q, qv, p, pv, k=5)
     d2, i2 = knn_pallas(q, qv, p, pv, k=5)
     same = np.mean([set(np.asarray(a)) == set(np.asarray(b))
                     for a, b in zip(np.asarray(i1), np.asarray(i2))])
@@ -38,7 +38,7 @@ def main():
     @jax.jit
     def xla_loop():
         def body(c, _):
-            d, i = neighbors.knn(q + c, qv, p, pv, k=5, tile=2048)
+            d, i = neighbors.knn(q + c, qv, p, pv, k=5)
             return c + 1e-9 * d[0, 0].astype(jnp.float32), None
         s, _ = jax.lax.scan(body, jnp.float32(0), None, length=20)
         return s

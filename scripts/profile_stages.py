@@ -107,7 +107,7 @@ mvalid = jnp.ones((M * S,), bool)
 
 @jax.jit
 def assoc(world, wvalid, mpts, mvalid):
-    d2, idx = neighbors.knn(world, wvalid, mpts, mvalid, k=5, tile=2048)
+    d2, idx = neighbors.knn(world, wvalid, mpts, mvalid, k=5)
     neigh = neighbors.gather_neighbors(mpts, idx)
     fit = plane_fit.fit_planes(neigh, idx >= 0, world,
                                plane_tol=est.surf_dist_thres)
@@ -120,7 +120,7 @@ print("knn+planes+topk        %.2f ms" % timeit(assoc, world, wvalid, mpts, mval
 
 @jax.jit
 def knn_only(world, wvalid, mpts, mvalid):
-    return neighbors.knn(world, wvalid, mpts, mvalid, k=5, tile=2048)
+    return neighbors.knn(world, wvalid, mpts, mvalid, k=5)
 
 
 print("  knn only             %.2f ms" % timeit(knn_only, world, wvalid, mpts, mvalid))

@@ -57,7 +57,7 @@ def main():
     def knn_20():
         def body(c, _):
             d2, idx = neighbors.knn(q + c, jnp.ones(5120, bool), p2,
-                                    jnp.ones(20480, bool), k=5, tile=2048)
+                                    jnp.ones(20480, bool), k=5)
             return c + 1e-9 * d2[0, 0].astype(jnp.float32), None
         s, _ = jax.lax.scan(body, jnp.float32(0), None, length=20)
         return s

@@ -70,7 +70,7 @@ class TestKNN:
         qs = RNG.normal(size=(64, 3)).astype(np.float32) * 10
         d2, idx = neighbors.knn(
             jnp.asarray(qs), jnp.ones(64, bool),
-            jnp.asarray(pts), jnp.ones(1000, bool), k=5, tile=256)
+            jnp.asarray(pts), jnp.ones(1000, bool), k=5, group=16)
         full = ((qs[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
         ref_idx = np.argsort(full, axis=1)[:, :5]
         ref_d = np.take_along_axis(full, ref_idx, 1)
@@ -80,12 +80,11 @@ class TestKNN:
             assert set(a) == set(b)
 
     def test_hierarchical_exact_vs_bruteforce(self):
-        # The subgroup-pruned selection must stay EXACT across tile/group
-        # configurations, including partial last tiles, clustered points
-        # (many near-ties inside one subgroup), and an offset far from the
-        # origin (the centering path).
-        for gi, (tile, group) in enumerate(
-                [(256, 16), (128, 8), (512, 64), (100, 7)]):
+        # The subgroup-pruned selection must stay EXACT across group
+        # sizes, including non-dividing groups (internal padding),
+        # clustered points (many near-ties inside one subgroup), and an
+        # offset far from the origin.
+        for gi, group in enumerate([16, 8, 64, 7]):
             rng = np.random.default_rng(100 + gi)
             pts = rng.normal(size=(1000, 3)).astype(np.float32) * 5
             pts[200:400] = pts[100] + rng.normal(
@@ -96,7 +95,7 @@ class TestKNN:
             d2, idx = neighbors.knn(
                 jnp.asarray(qs + off), jnp.ones(64, bool),
                 jnp.asarray(pts + off), jnp.ones(1000, bool),
-                k=5, tile=tile, group=group)
+                k=5, group=group)
             full = ((qs[:, None, :] - pts[None, :, :]) ** 2).sum(-1)
             ref_d = np.sort(full, axis=1)[:, :5]
             np.testing.assert_allclose(np.sort(np.asarray(d2), 1), ref_d,
@@ -111,14 +110,14 @@ class TestKNN:
         valid[0] = False
         d2, idx = neighbors.knn(
             jnp.zeros((1, 3), jnp.float32), jnp.ones(1, bool),
-            jnp.asarray(pts), jnp.asarray(valid), k=1, tile=8)
+            jnp.asarray(pts), jnp.asarray(valid), k=1, group=4)
         assert int(idx[0, 0]) == 1
 
     def test_invalid_query_masked(self):
         pts = jnp.asarray(RNG.normal(size=(16, 3)), jnp.float32)
         d2, idx = neighbors.knn(
             jnp.zeros((2, 3), jnp.float32), jnp.array([True, False]),
-            pts, jnp.ones(16, bool), k=3, tile=16)
+            pts, jnp.ones(16, bool), k=3, group=8)
         assert np.all(np.asarray(idx[1]) == -1)
 
     def test_gather(self):
