@@ -46,16 +46,26 @@ sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
 lc = read_result_csv("/root/reference/result/lc_result.csv")
 
 # --- per-epoch code DD (round-1 baseline) ---
-fixes_dd, covs, oks, ndd = rtk.solve_epochs_dd(
+dd_args = (
     jnp.asarray(g.sat_pos), jnp.asarray(g.psr_rov), jnp.asarray(g.psr_sta),
     jnp.asarray(g.valid), jnp.asarray(g.system, jnp.int32),
     jnp.asarray(g.master), jnp.asarray(STATION), jnp.asarray(g.elevation),
     jnp.asarray(g.snr), jnp.asarray(ANCHOR))
+fixes_dd, covs, oks, ndd = rtk.solve_epochs_dd(*dd_args)
 fixes_dd = np.asarray(fixes_dd)
 sig_dd = np.sqrt(np.maximum(
     np.trace(np.asarray(covs), axis1=1, axis2=2) / 3, 1e-6))
 ok_dd = np.asarray(oks) & (sig_dd < 5.0)
 print(f"code DD fixes: {ok_dd.sum()}/{len(ok_dd)} pass the covariance gate")
+
+# --- robust per-epoch code DD (round-3: IRLS Huber + NLOS trim) ---
+fixes_r, covs_r, oks_r, _ = rtk.solve_epochs_dd(
+    *dd_args, iters=12, huber=3.0, trim=30.0)
+fixes_r = np.asarray(fixes_r)
+sig_r = np.sqrt(np.maximum(
+    np.trace(np.asarray(covs_r), axis1=1, axis2=2) / 3, 1e-6))
+ok_r = np.asarray(oks_r) & (sig_r < 5.0)
+print(f"robust DD fixes: {ok_r.sum()}/{len(ok_r)} pass the covariance gate")
 
 # --- carrier-phase float filter (rtkpos parity) ---
 x0 = fixes_dd[np.nonzero(ok_dd)[0][0]] if ok_dd.any() else ANCHOR
@@ -127,6 +137,15 @@ def lc_solve(fixes, okn, sig, label, gnss_huber=2.0, gn_iters=8,
 # which bounds what ANY point-fix-based LC can do on this data. The
 # reference's lc_result.csv was produced from real-base RTK fixes.
 lc_solve(fixes_dd, ok_dd, sig_dd, "code-DD")
+# Round-3 flagship leg: per-satellite IRLS (huber=3σ, 30 m NLOS trim)
+# passes ~50% more fixes through the same gate with slightly lower
+# scatter — 67.0 -> 63.4 m RMSE vs golden LC. The remaining error is an
+# epoch-wide systematic (measured: gated fixes still carry ~61 m MEDIAN
+# error vs the golden SW trajectory — most satellites in an epoch are
+# biased together by NLOS + the synthesized-station atmosphere), which
+# no per-epoch robustness can remove; the reference's lc_result.csv was
+# produced from real-base RTK fixes.
+lc_solve(fixes_r, ok_r, sig_r, "robust-DD")
 # Source B: float filter + LAMBDA fixes. NOTE: with the synthesized base
 # station, the filter confidently tracks the smooth station-atmosphere
 # residual — formal covariance passes the gate while the position is

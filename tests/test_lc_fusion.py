@@ -64,13 +64,15 @@ def test_spacing_gate():
 
 def test_lc_whampoa_parity_regression():
     """Pins the real-data LC parity figure (VERDICT r2 item 5): despiked
-    golden-SW odometry + covariance-gated per-epoch code-DD fixes through
-    the LC chain solve, vs the reference's lc_result.csv. The measured
-    round-3 floor is ~67 m RMSE — bound by the fixes' deep-urban NLOS
-    scatter through the SYNTHESIZED base station (the reference used
-    real-base RTK fixes; hksc1410.21o is not redistributed). The bound
-    here catches regressions of the chain solve or the gating, not an
-    accuracy claim."""
+    golden-SW odometry + covariance-gated robust per-epoch code-DD fixes
+    through the LC chain solve, vs the reference's lc_result.csv. The
+    measured round-3 floor is ~63 m RMSE — bound by an epoch-wide
+    systematic in the fixes (deep-urban NLOS + atmosphere through the
+    SYNTHESIZED base station biases most satellites of an epoch at once;
+    the reference used real-base RTK fixes; hksc1410.21o is not
+    redistributed). The bound here catches regressions of the chain
+    solve, the robust DD solver, or the gating — not an accuracy
+    claim."""
     import os
     import jax.numpy as jnp
     from glio_tpu.data.episode import GnssEpochs
@@ -100,12 +102,13 @@ def test_lc_whampoa_parity_regression():
         jnp.asarray(g.psr_sta), jnp.asarray(g.valid),
         jnp.asarray(g.system, jnp.int32), jnp.asarray(g.master),
         jnp.asarray(STATION), jnp.asarray(g.elevation),
-        jnp.asarray(g.snr), jnp.asarray(ANCHOR))
+        jnp.asarray(g.snr), jnp.asarray(ANCHOR),
+        iters=12, huber=3.0, trim=30.0)
     fixes = np.asarray(fixes)
     sig = np.sqrt(np.maximum(
         np.trace(np.asarray(covs), axis1=1, axis2=2) / 3, 1e-6))
     ok = np.asarray(oks) & (sig < 5.0)
-    assert ok.sum() > 200  # the RTKLIB-parity gate keeps a usable set
+    assert ok.sum() > 400  # the robust gate keeps a usable set (meas. 568)
 
     enu_fix = np.asarray(C.ecef2enu(jnp.asarray(fixes),
                                     jnp.asarray(ANCHOR)))
@@ -126,6 +129,6 @@ def test_lc_whampoa_parity_regression():
                                  pcg_iters=400, gnss_huber=2.0)
     ia2, ib2 = associate(sw.time, lc.time)
     r1, e1 = ate_rmse(np.asarray(p)[ia2], lc.enu[ib2])
-    # Measured round 3: 67.0 m RMSE / 109.7 max.
-    assert r1 < 80.0, r1
+    # Measured round 3 (robust DD fixes): 63.4 m RMSE / 111.3 max.
+    assert r1 < 75.0, r1
     assert e1.max() < 140.0, e1.max()

@@ -66,6 +66,23 @@ def test_rtk_dd_fix_synthetic():
     np.testing.assert_allclose(np.asarray(pos), truth, atol=1e-3)
     assert np.all(np.isfinite(np.asarray(cov)))
 
+    # Robust variant: a 120 m NLOS bias on one satellite drags the plain
+    # WLS metres off; IRLS Huber + 30 m trim recovers the exact position
+    # (RAIM-style residual rejection — rtkpos valpos analogue).
+    psr_nlos = psr_rov.copy()
+    psr_nlos[5] += 120.0
+    args = (jnp.asarray(sat_pos), jnp.asarray(psr_nlos), jnp.asarray(psr_sta),
+            jnp.asarray(valid), jnp.asarray(system), jnp.asarray(master),
+            jnp.asarray(station), jnp.asarray(el), jnp.asarray(snr),
+            jnp.asarray(station))
+    pos_p, _, ok_p, _ = rtk.solve_epoch_dd(*args)
+    err_plain = np.linalg.norm(np.asarray(pos_p) - truth)
+    assert err_plain > 5.0  # the outlier measurably poisons plain WLS
+    pos_r, _, ok_r, _ = rtk.solve_epoch_dd(*args, iters=12, huber=3.0,
+                                           trim=30.0)
+    assert bool(ok_r)
+    np.testing.assert_allclose(np.asarray(pos_r), truth, atol=1e-2)
+
 
 def test_checkpoint_roundtrip(tmp_path):
     tree = {"a": jnp.arange(6, dtype=jnp.float64).reshape(2, 3),
