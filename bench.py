@@ -170,5 +170,43 @@ def _batch_metric(T_cap: int = 2048):
             "batch_full4stage_est_s": round(4 * stage_s, 2)}
 
 
+def _supervised():
+    """Run the measurement in a child process with timeout + retry.
+
+    The remote TPU backend intermittently hangs at initialization
+    (observed round 3: ``jax.devices()`` never returns); a hang here
+    would otherwise eat the driver's whole bench budget. The child is
+    the real ``main()``; the parent relays the one JSON line. On
+    repeated failure a JSON line with an ``error`` field is still
+    emitted so the round records *something* diagnosable.
+    """
+    attempts = int(os.environ.get("GLIO_BENCH_ATTEMPTS", "3"))
+    timeout = float(os.environ.get("GLIO_BENCH_TIMEOUT", "2400"))
+    last_err = "unknown"
+    for attempt in range(attempts):
+        try:
+            res = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=dict(os.environ, GLIO_BENCH_CHILD="1"),
+                capture_output=True, text=True, timeout=timeout,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in res.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+            last_err = (res.stderr or res.stdout or "no output")[-300:]
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {attempt}: timeout (backend hang?)"
+        if attempt + 1 < attempts:
+            time.sleep(30)
+    print(json.dumps({
+        "metric": "sliding_window_solve_ms_per_keyframe",
+        "value": None, "unit": "ms", "vs_baseline": None,
+        "error": last_err.replace("\n", " ")[:300]}))
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("GLIO_BENCH_CHILD"):
+        main()
+    else:
+        _supervised()
