@@ -197,7 +197,9 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
                 jnp.asarray(g.system[ei], jnp.int32),
                 jnp.asarray(g.master[ei]), jnp.asarray(station),
                 jnp.asarray(g.elevation[ei]), jnp.asarray(g.snr[ei]),
-                jnp.asarray(anchor))
+                jnp.asarray(anchor),
+                huber=cfg.estimator.rtk_fix_huber,
+                trim=cfg.estimator.rtk_fix_trim)
             if not bool(ok):
                 return None
             enu = np.asarray(C.ecef2enu(fx[None], jnp.asarray(anchor)))[0]
@@ -513,7 +515,9 @@ def _finish_pipeline(ep, cfg, out_dir, run_batch, run_lc,
             jnp.asarray(g.psr_sta), jnp.asarray(g.valid),
             jnp.asarray(g.system, jnp.int32), jnp.asarray(g.master),
             jnp.asarray(station), jnp.asarray(g.elevation),
-            jnp.asarray(g.snr), jnp.asarray(anchor))
+            jnp.asarray(g.snr), jnp.asarray(anchor),
+            huber=cfg.estimator.rtk_fix_huber,
+            trim=cfg.estimator.rtk_fix_trim)
         fixes = np.asarray(fixes)
         sig = np.sqrt(np.maximum(
             np.trace(np.asarray(covs), axis1=1, axis2=2) / 3.0, 1e-6))
