@@ -86,9 +86,12 @@ def convert(rover_obs_path: str, nav_path: str,
         approx = station_ecef
 
     # GLONASS records decode from the same nav file (state-vector format;
-    # python path — the native decoder covers the Kepler constellations).
-    glo_nav = (parse_nav_glo(nav_path)
-               if "R" in opts.systems else {})
+    # native fast path when the library is built, python otherwise).
+    if "R" in opts.systems:
+        glo_nav = (native_mod.parse_nav_glo_native(nav_path)
+                   if native_mod.available() else parse_nav_glo(nav_path))
+    else:
+        glo_nav = {}
 
     # ---- pass 1: flatten (epoch, sat) records with ephemeris picks ----
     ep_idx, ephs, psr, dopp, snr, sats = [], [], [], [], [], []

@@ -108,16 +108,32 @@ _LEAP_TABLE = (
     (civil2mjd(2009, 1, 1), 15.0),
     (civil2mjd(2006, 1, 1), 14.0),
     (civil2mjd(1999, 1, 1), 13.0),
+    (civil2mjd(1997, 7, 1), 12.0),
+    (civil2mjd(1996, 1, 1), 11.0),
+    (civil2mjd(1994, 7, 1), 10.0),
+    (civil2mjd(1993, 7, 1), 9.0),
+    (civil2mjd(1992, 7, 1), 8.0),
+    (civil2mjd(1991, 1, 1), 7.0),
+    (civil2mjd(1990, 1, 1), 6.0),
+    (civil2mjd(1988, 1, 1), 5.0),
+    (civil2mjd(1985, 7, 1), 4.0),
+    (civil2mjd(1983, 7, 1), 3.0),
+    (civil2mjd(1982, 7, 1), 2.0),
+    (civil2mjd(1981, 7, 1), 1.0),
 )
 
 
 def gps_utc_leap(y: int, m: int, d: int) -> float:
-    """GPS − UTC leap-second offset in effect at a UTC civil date."""
+    """GPS − UTC leap-second offset in effect at a UTC civil date.
+
+    Full table back to the GPS epoch (1980-01-06, GPS − UTC = 0); dates
+    before the first leap second return 0.
+    """
     mjd = civil2mjd(y, m, d)
     for mjd0, leap in _LEAP_TABLE:
         if mjd >= mjd0:
             return leap
-    return 13.0
+    return 0.0
 
 
 @dataclass
@@ -213,7 +229,7 @@ def _parse_obs_v3(path: str, systems: str) -> ObsData:
             t = 315964800.0 + week * 604800.0 + tow
             sats, psr, car, dop, snr, lli = [], [], [], [], [], []
             for _ in range(nsat):
-                rec = next(fh).rstrip("\n")
+                rec = next(fh, "").rstrip("\n")
                 sat = rec[0:3].replace(" ", "0")
                 sys_c = sat[0]
                 if sys_c not in picks or sys_c not in systems:
@@ -237,7 +253,10 @@ def _parse_obs_v3(path: str, systems: str) -> ObsData:
                 sats.append(sat)
                 psr.append(p); car.append(c); dop.append(d)
                 snr.append(s); lli.append(li)
-            if flag == 0 and sats:
+            # Flags 0 AND 1 are valid observation epochs (flag 1 = power
+            # failure between the previous and current epoch — the data
+            # itself is good; RTKLIB decodes both).
+            if flag in (0, 1) and sats:
                 out.epochs.append(ObsEpoch(
                     time=t, sats=sats,
                     psr=np.array(psr), carrier=np.array(car),
@@ -328,8 +347,12 @@ def _parse_obs_v2(path: str, systems: str) -> ObsData:
             while read < nsat:
                 k = read % 12
                 if read and k == 0:
-                    cur = next(fh)
-                fld = cur[32 + 3 * k: 35 + 3 * k]
+                    # Graceful on truncated files: a missing continuation
+                    # line degrades to blank satellite ids (whose rows
+                    # then parse as NaN and are dropped) instead of
+                    # raising StopIteration out of the generator.
+                    cur = next(fh, "")
+                fld = cur[32 + 3 * k: 35 + 3 * k].ljust(3)
                 sys_c = fld[0]
                 if sys_c == " ":
                     sys_c = "G"
@@ -364,7 +387,10 @@ def _parse_obs_v2(path: str, systems: str) -> ObsData:
                 sats.append(sat)
                 psr.append(p); car.append(c); dop.append(d)
                 snr.append(s); lli.append(li_)
-            if flag == 0 and sats:
+            # Flags 0 AND 1 are valid observation epochs (flag 1 = power
+            # failure between the previous and current epoch — the data
+            # itself is good; RTKLIB decodes both).
+            if flag in (0, 1) and sats:
                 out.epochs.append(ObsEpoch(
                     time=t, sats=sats,
                     psr=np.array(psr), carrier=np.array(car),

@@ -420,14 +420,20 @@ def _retract(p, q, dx):
 
 def _total_cost(p, q, prob, threshold, use_doppler: bool = False,
                 w_rel=None, w_dd=None, mixed: bool = False):
-    r1 = _rel_residuals(p, q, prob, w_rel)
-    r2 = _dd_residuals(p, prob, threshold, w_dd, mixed=mixed)
-    c = 0.5 * (jnp.sum(r1 * r1) + jnp.sum(r2 * r2))
-    if use_doppler:
-        r3 = _dopp_residuals(p, prob, prob.kf_dt, prob.sat_vel,
-                             prob.sat_ddt, prob.dopp)
-        c = c + 0.5 * jnp.sum(r3 * r3)
-    return c
+    # Same f32-matmul-precision context as _assemble_core: the LM
+    # accept/reject compares this candidate cost against the assembly's
+    # cost_cur, so both must see identical arithmetic — an uncontexted
+    # mixed=True cost runs one-pass bf16 matmuls on TPU, whose ~1e-3
+    # noise stalls the accept test near convergence.
+    with jax.default_matmul_precision("float32"):
+        r1 = _rel_residuals(p, q, prob, w_rel)
+        r2 = _dd_residuals(p, prob, threshold, w_dd, mixed=mixed)
+        c = 0.5 * (jnp.sum(r1 * r1) + jnp.sum(r2 * r2))
+        if use_doppler:
+            r3 = _dopp_residuals(p, prob, prob.sat_vel,
+                                 prob.sat_ddt, prob.dopp)
+            c = c + 0.5 * jnp.sum(r3 * r3)
+        return c
 
 
 def _assemble(p, q, prob: BatchProblem, threshold, hw: int,
@@ -648,7 +654,7 @@ def _assemble_core_impl(p, q, prob: BatchProblem, threshold, hw: int,
                 ep_left=left[None], ep_ratio=ratio[None],
                 ep_valid=valid[None], sat_pos=sat_pos[None],
                 sv_valid=sv_valid[None])
-            return _dopp_residuals(pp, prob1, prob.kf_dt, sv[None],
+            return _dopp_residuals(pp, prob1, sv[None],
                                    sddt[None], meas[None],
                                    dopp_sigma=sig[None])[0]
 
@@ -812,18 +818,20 @@ def solve_batch_once_atm(cfg: GlioConfig, prob: BatchProblem, p0, q0, z0,
         return 0.5 * (jnp.sum(r_gm ** 2) + jnp.sum(r_abs ** 2))
 
     def trial_cost(p, q, z, w_rel, w_dd):
-        r1 = _rel_residuals(p, q, prob, w_rel)
-        R_el = r_ecef_local(prob.anchor_ecef, prob.yaw_enu_local)
-        r2 = jax.vmap(
-            lambda *a: _dd_row_jac(p, R_el, prob, threshold, *a[:-1],
-                                   mixed=mixed, z=z,
-                                   elevation=a[-1])[0])(
-            prob.ep_left, prob.ep_ratio, prob.ep_valid, prob.sat_pos,
-            prob.psr_rov, prob.psr_sta, prob.sv_valid, prob.system,
-            prob.master, prob.whiten,
-            w_dd, prob.elevation)
-        return (0.5 * (jnp.sum(r1 * r1) + jnp.sum(r2 * r2))
-                + gm_cost(z))
+        # Matches _assemble_core's f32 precision context (see _total_cost).
+        with jax.default_matmul_precision("float32"):
+            r1 = _rel_residuals(p, q, prob, w_rel)
+            R_el = r_ecef_local(prob.anchor_ecef, prob.yaw_enu_local)
+            r2 = jax.vmap(
+                lambda *a: _dd_row_jac(p, R_el, prob, threshold, *a[:-1],
+                                       mixed=mixed, z=z,
+                                       elevation=a[-1])[0])(
+                prob.ep_left, prob.ep_ratio, prob.ep_valid, prob.sat_pos,
+                prob.psr_rov, prob.psr_sta, prob.sv_valid, prob.system,
+                prob.master, prob.whiten,
+                w_dd, prob.elevation)
+            return (0.5 * (jnp.sum(r1 * r1) + jnp.sum(r2 * r2))
+                    + gm_cost(z))
 
     def step(carry, _):
         p, q, z, lam = carry
@@ -887,6 +895,12 @@ def optimize_batch_atm(cfg: GlioConfig, prob: BatchProblem,
     """Annealed batch solve with the Gauss-Markov zenith-bias chain.
 
     Returns (p, q, z, costs)."""
+    if cfg.estimator.doppler_in_batch:
+        raise ValueError(
+            "optimize_batch_atm does not support doppler_in_batch: the "
+            "7-dof (pose+zenith) assembly has no Doppler rows — use "
+            "optimize_batch, or extend _assemble_core's z-path first "
+            "(silently dropping the factors would confound atm A/Bs).")
     p, q = prob.p_odo, prob.q_odo
     z = jnp.zeros(p.shape[0], F64)
     costs = []
@@ -1514,7 +1528,7 @@ def optimize_batch_sms1_imu(cfg: GlioConfig, prob: BatchProblem,
 
 # --- Doppler rows (optional; reference ships them compiled out) --------------
 
-def _dopp_residuals(p, prob: BatchProblem, kf_dt, sat_vel, sat_ddt,
+def _dopp_residuals(p, prob: BatchProblem, sat_vel, sat_ddt,
                     dopp_rng_rate, dopp_sigma=None):
     """Per-epoch Doppler residuals with the receiver clock drift
     eliminated analytically.
@@ -1532,8 +1546,7 @@ def _dopp_residuals(p, prob: BatchProblem, kf_dt, sat_vel, sat_ddt,
     Rows are whitened by the reference's per-satellite Doppler sigma
     √(10·var_elesnr) (Estimator.cpp:71,2288; prob.dopp_sigma) — the
     weighted elimination of rcv_ddt uses the same weights, keeping the
-    projection exact. ``kf_dt`` is the fallback spacing when prob carries
-    no kf_time (older callers); ``dopp_sigma`` overrides prob's."""
+    projection exact. ``dopp_sigma`` overrides prob's."""
     from ..factors.gnss import r_ecef_local
     R = r_ecef_local(prob.anchor_ecef, prob.yaw_enu_local)
     OMGE_, CL = 7.2921151467e-5, 299792458.0

@@ -232,7 +232,11 @@ def replay_with_backend_fusion(cfg: GlioConfig, ep: Episode, inputs,
             print(f"[fusion t={t}] drift={drift:.2f} fix_dis={fix_dis:.2f}"
                   f" hop_max={float(hop.max()):.2f} sane={target_sane}",
                   flush=True)
-        if (drift > drift_thr or fix_dis > fix_gate) and target_sane:
+        # NOTE: target_sane already requires fix_dis <= fix_gate, so only
+        # the drift signal can route HERE; fix disagreement always routes
+        # to the re-anchor branch below (the fused target itself is
+        # compromised when the fix disagrees with it).
+        if drift > drift_thr and target_sane:
             did_reset = True
             if debug:
                 print(f"[fusion t={t}] RESET → fused tail", flush=True)

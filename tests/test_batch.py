@@ -194,7 +194,7 @@ def test_doppler_residuals_zero_at_truth():
                                    + 3.0)  # +3 m/s receiver clock drift
     prob = B.build_problem(cfg, p_true, q_true, kf_time, gnss,
                            ANCHOR, 0.0, STATION)
-    r = B._dopp_residuals(jnp.asarray(p_true), prob, kf_dt,
+    r = B._dopp_residuals(jnp.asarray(p_true), prob,
                           jnp.asarray(gnss.sat_vel),
                           jnp.asarray(gnss.sat_ddt),
                           jnp.asarray(gnss.dopp_rov))

@@ -631,3 +631,34 @@ def test_gps_utc_leap_table():
     assert rinex.gps_utc_leap(2013, 1, 1) == 16.0
     assert rinex.gps_utc_leap(2008, 6, 1) == 14.0
     assert rinex.gps_utc_leap(1999, 1, 1) == 13.0
+    # Full table back to the GPS epoch (pre-1999 dates were wrong before
+    # round 3: the truncated table returned 13 s for all of 1980-1998).
+    assert rinex.gps_utc_leap(1996, 6, 1) == 11.0
+    assert rinex.gps_utc_leap(1992, 1, 1) == 7.0
+    assert rinex.gps_utc_leap(1985, 7, 1) == 4.0
+    assert rinex.gps_utc_leap(1981, 1, 1) == 0.0
+    assert rinex.gps_utc_leap(1980, 1, 6) == 0.0
+
+
+def test_obs_flag1_epoch_kept(tmp_path):
+    """Epoch flag 1 (power failure between epochs) is a VALID observation
+    epoch per the RINEX spec and RTKLIB; both parsers must keep it."""
+    v3 = rinex.parse_obs(OBS, systems="GC")
+    v3.epochs = v3.epochs[:3]
+    v2_path = str(tmp_path / "flag1.obs")
+    rinex.write_obs_v2(v3, v2_path)
+    txt = open(v2_path).read().splitlines(keepends=True)
+    out, flipped = [], 0
+    for line in txt:
+        # v2 epoch lines: " yy mm dd hh mm ss.sssssss  f nn..." — flip the
+        # SECOND epoch's flag 0 -> 1.
+        if (len(line) > 32 and line[1:3].strip().isdigit()
+                and line[26:29].strip() == "0"):
+            flipped += 1
+            if flipped == 2:
+                line = line[:28] + "1" + line[29:]
+        out.append(line)
+    open(v2_path, "w").writelines(out)
+    v2 = rinex.parse_obs(v2_path, systems="GC")
+    assert len(v2.epochs) == 3
+    assert v2.epochs[1].sats == v3.epochs[1].sats
