@@ -948,13 +948,26 @@ def optimize_batch_incremental(cfg: GlioConfig, prob: BatchProblem, kf_time,
                                lm_iters: int = 4, solver: str = "direct",
                                relaxation_passes: int = 0,
                                robust: RobustOpts = NO_ROBUST,
+                               rederive: bool = True,
                                verbose: bool = False):
     """Emulate the reference's incremental batch replay
     (``backendFusionThread``, Estimator.cpp:5352 + :2740-2748): re-solve
-    the growing prefix every `every` keyframes, re-deriving the
-    relative-pose measurements from the current (already corrected)
-    trajectory each time. One compiled shape: the prefix is expressed with
-    masks over the full-length problem.
+    the growing prefix every `every` keyframes. One compiled shape: the
+    prefix is expressed with masks over the full-length problem.
+
+    ``rederive`` (default True, matching the reference, which re-derives
+    its batch constraints from the current poses every solve): re-derive
+    the relative-pose measurements from the current corrected trajectory
+    at each re-solve. MEASURED A/B on real Whampoa (robust, every=250):
+    re-derivation is what lets the chain bend toward the GNSS evidence
+    across re-solves — 18.1 m RMSE vs the golden batch (lm_iters=4);
+    keeping the ORIGINAL odometry relatives instead is 44.8 m, because
+    each incoming chunk is initialized by chaining raw odometry hops
+    from the corrected boundary (tens of metres of accumulated vertical
+    drift at every=250) and the rigid original chain + the ABSOLUTE
+    epoch gate then lock the GNSS out (the documented robust lock-out).
+    The residual gap to the 8.6 m one-shot is the re-solve coarseness:
+    the reference re-solves every 10 keyframes with ≤100 LM iterations.
 
     `prob` supplies the static GNSS binding/whitening and the initial
     odometry; returns the final trajectory.
@@ -992,8 +1005,12 @@ def optimize_batch_incremental(cfg: GlioConfig, prob: BatchProblem, kf_time,
     for n in list(range(max(every, 20), T, every)) + [T]:
         p_cur, q_cur = rebase(p_cur, q_cur, n_prev, n)
         n_prev = n
-        rel_dp, rel_dq, rel_valid = derive_relatives(
-            jnp.asarray(p_cur), jnp.asarray(q_cur), kf_dt, R)
+        if rederive:
+            rel_dp, rel_dq, rel_valid = derive_relatives(
+                jnp.asarray(p_cur), jnp.asarray(q_cur), kf_dt, R)
+        else:
+            rel_dp, rel_dq, rel_valid = (prob.rel_dp, prob.rel_dq,
+                                         prob.rel_valid)
         idx = jnp.arange(T)
         active = idx < n
         rel_valid = rel_valid & active[:, None] & \
@@ -1018,7 +1035,10 @@ def optimize_batch_incremental(cfg: GlioConfig, prob: BatchProblem, kf_time,
     # from the current estimate allows the solve another equilibrium step
     # toward the GNSS evidence (the reference gets ~T/10 such passes for
     # free by re-running the batch every 10 keyframes over the whole
-    # mission, Estimator.cpp:2740-2748; we run them explicitly).
+    # mission, Estimator.cpp:2740-2748; we run them explicitly). They
+    # inherently re-derive — meaningful with ``rederive=True``; with
+    # original-relative measurements the final n=T solve already IS the
+    # one-shot problem, so pass relaxation_passes=0 there.
     for it in range(relaxation_passes):
         rel_dp, rel_dq, rel_valid = derive_relatives(
             jnp.asarray(p_cur), jnp.asarray(q_cur), kf_dt, R)

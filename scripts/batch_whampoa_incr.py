@@ -28,9 +28,20 @@ q_odo = np.asarray(quat.from_ypr(jnp.asarray(np.deg2rad(sw.ypr_deg))))
 cfg = GlioConfig()
 prob = B.build_problem(cfg, p_odo, q_odo, sw.time, g, ANCHOR, 0.0, STATION)
 t0 = time.time()
+# Same robust configuration as the one-shot parity runs (dd Huber +
+# absolute epoch gate): without it, fully-weighted NLOS epochs drag the
+# chain tens of metres vertically (measured: 35.8 m RMSE un-gated).
+# Measured cadence trend vs the golden batch (rederive, robust, lm=4):
+# every=250 -> 18.1 m; every=50 -> 12.8 m (median 8.9) in 690 s CPU —
+# approaching the 8.6 m one-shot as `every` nears the reference's 10
+# (Estimator.cpp:2740-2748). Keeping ORIGINAL odometry relatives instead
+# of re-deriving was measured WORSE (44.8 m): chunk inits chain raw
+# odometry hops from the corrected boundary and the absolute epoch gate
+# then locks the GNSS out.
+rob = B.RobustOpts(dd_huber=1.0, epoch_gate=2.0, rel_huber=5.0)
 p, q = B.optimize_batch_incremental(
-    cfg, prob, sw.time, every=250, lm_iters=4, relaxation_passes=80,
-    verbose=True)
+    cfg, prob, sw.time, every=50, lm_iters=4, relaxation_passes=80,
+    robust=rob, rederive=True, verbose=True)
 p = np.asarray(p)
 print("incremental solve", round(time.time() - t0, 1), "s", flush=True)
 ia, ib = associate(sw.time, bt.time)

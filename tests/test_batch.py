@@ -103,7 +103,8 @@ def test_incremental_relaxation_removes_drift(problem):
     e0 = np.linalg.norm(p_odo - p_true, axis=-1)
     assert e0.max() > 4.0
     p, q = B.optimize_batch_incremental(cfg, prob, kf_time, every=20,
-                                        lm_iters=3, relaxation_passes=60)
+                                        lm_iters=3, relaxation_passes=60,
+                                        rederive=True)
     e1 = np.linalg.norm(np.asarray(p) - p_true, axis=-1)
     assert e1.mean() < 1.2, (e0.mean(), e1.mean())
     assert e1.mean() < 0.5 * e0.mean()
