@@ -771,6 +771,36 @@ def optimize_batch(cfg: GlioConfig, prob: BatchProblem,
     return p, q, costs
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def batch_marginal_covariance(cfg: GlioConfig, prob: BatchProblem, p, q,
+                              threshold=6.0, jitter: float = 1e-9):
+    """Per-keyframe 6×6 marginal covariance of the batch solution.
+
+    Assembles the Gauss-Newton information at (p, q) — the converged
+    trajectory, final annealing threshold — and returns the block
+    diagonal of its inverse via banded selected inversion
+    (``banded.selected_inverse_diag``): cov[t] is the marginal covariance
+    of keyframe t's (translation, rotation-tangent) in the LOCAL frame,
+    with all other keyframes marginalized (NOT conditioned) out.
+
+    The reference publishes poses only; this is the uncertainty output an
+    estimation framework owes its users (and what downstream consumers
+    like the LC covariance gate, Estimator.cpp:1963-1969, actually need).
+    ``jitter`` regularizes the rotation gauge when GNSS constrains only
+    translations.
+    """
+    hw = cfg.estimator.search_range + 1
+    band, _ = _assemble(p, q, prob, jnp.asarray(threshold, F64), hw,
+                        use_doppler=cfg.estimator.doppler_in_batch,
+                        mixed=False)
+    diag = band[:, hw]
+    band = band.at[:, hw].add(
+        jitter * jnp.maximum(jnp.trace(diag, axis1=-2, axis2=-1),
+                             1.0)[:, None, None]
+        * jnp.eye(POSE_DOF, dtype=F64))
+    return banded.selected_inverse_diag(band)
+
+
 # --- Atmospheric-bias batch variant ------------------------------------------
 #
 # The real-data parity floor vs the golden batch CSV is a smooth, mostly

@@ -541,3 +541,53 @@ def woodbury_solve(band, b, J_extra, r_extra, jitter: float = 1e-12):
     from .linalg import spd_solve
     w = spd_solve(core, JSb)
     return Sb - jnp.einsum("ltd,l->td", SJt, w)
+
+
+def selected_inverse_diag(band):
+    """Per-block diagonal of the inverse of a banded SPD matrix.
+
+    Returns (T, D, D): the D×D diagonal blocks of H⁻¹ — the marginal
+    covariances of a Gauss-Newton system assembled at its solution. The
+    reference publishes poses only; an estimation framework should also
+    expose their uncertainty (the LC stage's covariance gating of fixes,
+    Estimator.cpp:1963-1969, is the closest the reference gets).
+
+    Method: block-tridiagonal selected inversion over the hw·D super-rows
+    (``band_to_tridiag``), classic two-sided recursion:
+
+        U_1 = B_1,   U_i = B_i − A_i U_{i−1}⁻¹ A_iᵀ     (forward scan)
+        V_N = B_N,   V_i = B_i − C_i V_{i+1}⁻¹ C_iᵀ     (backward scan)
+        Σ_ii = (U_i + V_i − B_i)⁻¹
+
+    — U_i carries all information left of i, V_i all information right,
+    each an exact Schur complement, so Σ_ii is the exact (i, i) block of
+    the full inverse. O(T/hw) sequential S×S Cholesky steps; the identity
+    padding rows decouple and are dropped.
+    """
+    T, Bw, D, _ = band.shape
+    A, Bm, C, N, S = band_to_tridiag(band)
+
+    def fwd(U_prev, inp):
+        Ai, Bi = inp
+        U = Bi - Ai @ _spd_solve_batched(U_prev, jnp.swapaxes(Ai, -1, -2))
+        return U, U
+
+    _, U = jax.lax.scan(fwd, Bm[0], (A[1:], Bm[1:]))
+    U = jnp.concatenate([Bm[:1], U], axis=0)
+
+    def bwd(V_next, inp):
+        Ci, Bi = inp
+        V = Bi - Ci @ _spd_solve_batched(V_next, jnp.swapaxes(Ci, -1, -2))
+        return V, V
+
+    _, V = jax.lax.scan(bwd, Bm[-1], (C[:-1], Bm[:-1]), reverse=True)
+    V = jnp.concatenate([V, Bm[-1:]], axis=0)
+
+    M = U + V - Bm                               # (N, S, S) information
+    Sig = _spd_solve_batched(M, jnp.broadcast_to(
+        jnp.eye(S, dtype=band.dtype), M.shape))  # (N, S, S) covariance
+    # Extract the D×D diagonal blocks of each super-row and unpad to T.
+    hw = (Bw - 1) // 2
+    Sig = Sig.reshape(N, hw, D, hw, D)
+    diag = jnp.stack([Sig[:, r, :, r, :] for r in range(hw)], axis=1)
+    return diag.reshape(N * hw, D, D)[:T]

@@ -202,3 +202,61 @@ def test_cyclic_reduction_mixed_matches_f64():
     scale = float(jnp.max(jnp.abs(x_ref)))
     err = float(jnp.max(jnp.abs(x_mix - x_ref))) / scale
     assert err < 1e-7, err
+
+
+class TestSelectedInverse:
+    """Banded selected inversion: per-block marginal covariances."""
+
+    @staticmethod
+    def _dense_from_band(band):
+        band = np.asarray(band)
+        T, B, D, _ = band.shape
+        hw = (B - 1) // 2
+        H = np.zeros((T * D, T * D))
+        for t in range(T):
+            for o in range(B):
+                s = t + o - hw
+                if 0 <= s < T:
+                    H[t*D:(t+1)*D, s*D:(s+1)*D] = band[t, o]
+        return H
+
+    @pytest.mark.parametrize("T,hw,D", [(11, 2, 3), (40, 3, 4),
+                                        (33, 7, 6)])
+    def test_matches_dense_inverse(self, T, hw, D):
+        band, _ = TestCyclicReduction._random_banded(T, hw, D, seed=7 + T)
+        Sig = np.asarray(banded.selected_inverse_diag(band))
+        Hinv = np.linalg.inv(self._dense_from_band(band))
+        for t in range(T):
+            np.testing.assert_allclose(
+                Sig[t], Hinv[t*D:(t+1)*D, t*D:(t+1)*D], atol=1e-10,
+                err_msg=f"block {t}")
+
+    def test_batch_marginal_covariance_sane(self):
+        """End-to-end: covariance of a small batch solution is SPD, and
+        keyframes inside GNSS coverage are tighter (translation) than an
+        uncovered tail that relies on the relative chain alone."""
+        from glio_tpu.config import GlioConfig
+        from glio_tpu.data.simulator import simulate_gnss_epochs
+        from glio_tpu.models import batch as B
+        ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
+        STATION = np.array([-2414266.92, 5386768.987, 2407460.031])
+        T = 60
+        kf_time = np.arange(T) / 3.0
+        tt = np.linspace(0, 2, T)
+        p_true = np.stack([20*tt, 5*np.sin(tt), np.zeros_like(tt)], -1)
+        q_true = np.tile([1.0, 0, 0, 0], (T, 1))
+        gnss = simulate_gnss_epochs(p_true[:40], kf_time[:40], ANCHOR,
+                                    STATION, psr_noise=0.5, seed=5)
+        cfg = GlioConfig()
+        prob = B.build_problem(cfg, p_true, q_true, kf_time, gnss,
+                               ANCHOR, 0.0, STATION)
+        cov = np.asarray(B.batch_marginal_covariance(
+            cfg, prob, prob.p_odo, prob.q_odo))
+        assert cov.shape == (T, 6, 6)
+        ev = np.linalg.eigvalsh(cov)
+        assert ev.min() > 0.0
+        tr_cov = np.trace(cov[:, :3, :3], axis1=1, axis2=2)
+        # GNSS-covered keyframes: metre-level absolute position info;
+        # the uncovered tail grows along the relative chain.
+        assert tr_cov[5:35].max() < tr_cov[-1]
+        assert tr_cov[-1] > tr_cov[40]
