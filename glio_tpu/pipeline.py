@@ -37,6 +37,7 @@ class PipelineResult:
     q_sw: np.ndarray
     p_batch: Optional[np.ndarray] = None
     q_batch: Optional[np.ndarray] = None
+    cov_batch: Optional[np.ndarray] = None      # (T, 6, 6) marginals
     p_lc: Optional[np.ndarray] = None
     q_lc: Optional[np.ndarray] = None
     n_loop_edges: int = 0
@@ -505,11 +506,23 @@ def _finish_pipeline(ep, cfg, out_dir, run_batch, run_lc,
             p_b, q_b, _ = batch_mod.optimize_batch(cfg, prob, solver=cfg.estimator.batch_solver)
         res.p_batch = np.asarray(p_b)
         res.q_batch = np.asarray(q_b)
+        # Per-keyframe marginal covariance of the batch solution (banded
+        # selected inversion) — the uncertainty the reference never
+        # publishes alongside its poses.
+        res.cov_batch = np.asarray(batch_mod.batch_marginal_covariance(
+            cfg, prob, p_b, q_b))
         if out_dir:
             llh, ypr, enu = _georef(res.p_batch, res.q_batch, anchor, yaw)
             traj.write_result_csv(
                 os.path.join(out_dir, "tc_batch_result.csv"),
                 res.kf_time, llh, ypr, enu)
+            std = np.sqrt(np.maximum(np.diagonal(
+                res.cov_batch, axis1=1, axis2=2), 0.0))
+            np.savetxt(
+                os.path.join(out_dir, "tc_batch_cov.csv"),
+                np.column_stack([res.kf_time, std]), delimiter=",",
+                header="time,std_px,std_py,std_pz,std_rx,std_ry,std_rz",
+                comments="")
 
     # --- stage 3: loosely-coupled fusion --------------------------------
     if run_lc:
