@@ -112,6 +112,25 @@ def main(lm_iters=(40, 12, 8, 8), pcg_iters=250, atm=False):
     _report("OURS(atm)" if atm else "OURS", p, sw, bt)
     np.save("/tmp/our_batch_p_atm.npy" if atm else "/tmp/our_batch_p.npy", p)
 
+    # Marginal covariance consistency vs the golden batch: the formal
+    # stds model measurement noise only — the synthesized station's
+    # unmodeled atmosphere/NLOS bias dominates the actual error, so the
+    # ratio actual/predicted quantifies exactly how much of the parity
+    # floor is UNMODELED bias rather than estimator optimism.
+    if not atm:
+        cov = np.asarray(B.batch_marginal_covariance(cfg, prob, jnp.asarray(p),
+                                                     jnp.asarray(q)))
+        std_p = np.sqrt(np.maximum(
+            np.diagonal(cov[:, :3, :3], axis1=1, axis2=2), 0.0))
+        from glio_tpu.eval.trajectory import associate
+        ia, ib = associate(sw.time, bt.time)
+        err = np.abs(p[ia] - bt.enu[ib])
+        print(f"cov report: median predicted 3D std "
+              f"{np.median(np.linalg.norm(std_p, axis=-1)):.2f} m; "
+              f"median |err|/std per axis "
+              f"{np.median(err / np.maximum(std_p[ia], 1e-6), axis=0).round(1)}",
+              flush=True)
+
 
 if __name__ == "__main__":
     import sys
