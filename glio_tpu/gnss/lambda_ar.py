@@ -1,164 +1,195 @@
-"""LAMBDA / MLAMBDA integer ambiguity resolution.
+"""Integer ambiguity resolution (ILS with lattice decorrelation).
 
-Counterpart of the reference's ``RTKLIB/src/lambda.c`` (exercised by its
-manual smoke node ``global_fusion/src/testRTKLIBNode.cpp``) — a fresh
-implementation of the MLAMBDA method (LᵀDL decorrelation + depth-first
-integer least-squares search; Chang, Yang & Zhou 2005), validated against
-brute-force enumeration in the tests rather than ported.
+Fills the role of the reference's LAMBDA stage (RTKLIB ``lambda.c``,
+exercised by its manual smoke node
+``global_fusion/src/testRTKLIBNode.cpp``): given float double-difference
+ambiguities and their covariance, find the best integer vectors under the
+covariance metric and apply the conditional fixed-position update.
+
+Provenance: the underlying method (decorrelating unimodular transform +
+depth-first conditional integer search) is the published (M)LAMBDA
+algorithm — Teunissen 1995; Chang, Yang & Zhou, J. Geodesy 2005. This
+implementation was written from that algorithmic description and is
+organized differently from RTKLIB's ``lambda.c``:
+
+* factorization is a *forward* Q = L·diag(d)·Lᵀ (unit lower L, row
+  order), so the conditional search roots at index 0 and descends to
+  n−1 (RTKLIB factors Q = Lᵀ·D·L and searches from n−1 down);
+* the decorrelation works on the covariance itself — sweeps of
+  {refactorize, integer size-reduction as row operations on a running
+  unimodular M with Qz = M·Q·Mᵀ, one Lovász-style adjacent swap} until
+  a sweep makes no swap — rather than incremental 2×2 updates of a
+  cached factorization;
+* the search enumerates each level by a counter-indexed zigzag offset
+  (closed form, ordered by distance from the conditional mean) and
+  keeps the m-best candidates in a ``heapq`` max-heap.
+
+Correctness is pinned by brute-force enumeration over integer boxes in
+``tests/test_lambda_ar.py``.
 
 Host-side numpy by design: the search is an inherently sequential integer
 tree walk over a handful of ambiguities per epoch — not a tensor op; it
 runs once per epoch on the float filter's output (``rtk.float_filter``),
-off the jit path, exactly as RTKLIB calls ``lambda()`` from ``resamb``.
+off the jit path.
 
 ``resolve_epoch`` additionally applies the conditional (fixed) position
 update p_fix = p − P_pa Q_a⁻¹ (a − ǎ) and the standard ratio test.
 """
 
+import heapq
+import math
 from typing import NamedTuple, Optional, Tuple
 
 import numpy as np
 
 
 def ldl(Q: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Factor Q = Lᵀ · diag(d) · L with L unit lower triangular."""
+    """Factor Q = L · diag(d) · Lᵀ, L unit lower triangular (row order).
+
+    d[i] is the conditional variance of component i given components
+    0..i−1, so a search that fixes z₀ first needs no reordering of the
+    factor. Raises ``LinAlgError`` if Q is not positive definite.
+    """
+    Q = np.asarray(Q, float)
     n = Q.shape[0]
-    A = Q.copy().astype(float)
-    L = np.zeros((n, n))
-    d = np.zeros(n)
-    for i in range(n - 1, -1, -1):
-        d[i] = A[i, i]
+    L = np.eye(n)
+    d = np.empty(n)
+    for i in range(n):
+        # Row recurrence: Q[i,j] = Σ_k L[i,k] d[k] L[j,k] for j ≤ i.
+        for j in range(i):
+            L[i, j] = (Q[i, j] - (L[i, :j] * d[:j]) @ L[j, :j]) / d[j]
+        d[i] = Q[i, i] - (L[i, :i] ** 2) @ d[:i]
         if d[i] <= 0.0:
             raise np.linalg.LinAlgError("Q not positive definite")
-        L[i, : i + 1] = A[i, : i + 1] / np.sqrt(d[i])
-        for j in range(i):
-            A[j, : j + 1] -= L[i, : j + 1] * L[i, j]
-        L[i, : i + 1] /= L[i, i]
     return L, d
 
 
-def reduction(L: np.ndarray, d: np.ndarray):
-    """Decorrelating Z-transform (integer Gauss moves + permutations).
+def decorrelate(Q: np.ndarray, max_sweeps: int = 1000):
+    """Unimodular decorrelation: returns (M, L, d) with Qz = M·Q·Mᵀ =
+    L·diag(d)·Lᵀ size-reduced (|L[i,j]| ≤ ½) and swap-stable.
 
-    Returns (L', d', Z) with Q_z = Zᵀ Q Z better conditioned for search.
+    Each sweep refactorizes the current Qz, size-reduces every
+    subdiagonal entry by integer row operations z_i ← z_i − μ·z_j
+    (applied to M; the factor row updates as L_i ← L_i − μ·L_j), then
+    applies at most one adjacent interchange where conditioning the
+    earlier-searched slot on the swap strictly shrinks its conditional
+    variance (relative tolerance 1e−9). Terminates when a sweep swaps
+    nothing. O(n³) per sweep — irrelevant at GNSS sizes (n ≤ ~15).
+    """
+    Q = np.asarray(Q, float)
+    n = Q.shape[0]
+    M = np.eye(n)
+    for _ in range(max_sweeps):
+        Qz = M @ Q @ M.T
+        L, d = ldl(Qz)
+        # Size reduction: j from i−1 downward so each move only touches
+        # L entries at or left of column j (already-final ones stay).
+        for i in range(1, n):
+            for j in range(i - 1, -1, -1):
+                mu = float(np.rint(L[i, j]))
+                if mu != 0.0:
+                    L[i, : j + 1] -= mu * L[j, : j + 1]
+                    M[i, :] -= mu * M[j, :]
+        swapped = False
+        for i in range(n - 1):
+            # Post-swap conditional variance of search level i.
+            d_swap = d[i + 1] + L[i + 1, i] ** 2 * d[i]
+            if d_swap < d[i] * (1.0 - 1e-9):
+                M[[i, i + 1], :] = M[[i + 1, i], :]
+                swapped = True
+                break
+        if not swapped:
+            return M, L, d
+    return M, L, d
+
+
+def _zigzag(c: int, toward: int) -> int:
+    """c-th offset from the rounded conditional mean, ordered by
+    distance: 0, ±1, ∓1, ±2, ∓2, … with the first step toward the
+    fractional side (`toward` ∈ {+1, −1})."""
+    if c == 0:
+        return 0
+    half = (c + 1) // 2
+    return half * toward if c % 2 else -half * toward
+
+
+def search(L: np.ndarray, d: np.ndarray, a: np.ndarray, m: int = 2,
+           max_nodes: int = 100000):
+    """m-best integer least squares under (z−a)ᵀ(L·diag(d)·Lᵀ)⁻¹(z−a).
+
+    Depth-first conditional search rooted at level 0: with
+    u_k = z_k − mean_k and mean_k = a_k + L[k,:k]·u[:k], the objective
+    is Σ u_k²/d_k, accumulated level by level. Each level enumerates
+    integers in zigzag order (non-decreasing |u_k|), so the first value
+    that breaches the current bound exhausts the level. The m best
+    full-depth vectors live in a max-heap; the bound is the heap's worst
+    value once it holds m entries. Returns (vectors (≤m, n) int64,
+    values (≤m,)) sorted ascending.
     """
     n = d.shape[0]
-    L = L.copy()
-    d = d.copy()
-    Z = np.eye(n)
-
-    def gauss(i, j):
-        mu = round(L[i, j])
-        if mu != 0:
-            L[i:, j] -= mu * L[i:, i]
-            Z[:, j] -= mu * Z[:, i]
-
-    j = n - 2
-    k = n - 2
-    while j >= 0:
-        if j <= k:
-            for i in range(j + 1, n):
-                gauss(i, j)
-        delta = d[j] + L[j + 1, j] ** 2 * d[j + 1]
-        if delta + 1e-6 < d[j + 1]:
-            eta = d[j] / delta
-            lam = d[j + 1] * L[j + 1, j] / delta
-            d[j] = eta * d[j + 1]
-            d[j + 1] = delta
-            B = np.array([[-L[j + 1, j], 1.0], [eta, lam]])
-            L[j:j + 2, :j] = B @ L[j:j + 2, :j]
-            L[j + 1, j] = lam
-            # Swap columns j, j+1 below the 2x2 block and in Z.
-            L[j + 2:, [j, j + 1]] = L[j + 2:, [j + 1, j]]
-            Z[:, [j, j + 1]] = Z[:, [j + 1, j]]
-            k = j
-            j = n - 2
-        else:
-            j -= 1
-    return L, d, Z
-
-
-def search(L: np.ndarray, d: np.ndarray, zs: np.ndarray, m: int = 2,
-           max_iter: int = 10000):
-    """Depth-first integer least-squares: the m best integer vectors
-    minimizing (z − zs)ᵀ Q_z⁻¹ (z − zs), plus their quadratic values."""
-    n = d.shape[0]
-
-    def sgn(x):
-        return -1.0 if x <= 0.0 else 1.0
-
-    S = np.zeros((n, n))
-    dist = np.zeros(n)
-    zb = np.zeros(n)
+    mean = np.zeros(n)
+    u = np.zeros(n)
+    acc = np.zeros(n)          # acc[k] = Σ_{i<k} u_i²/d_i
     z = np.zeros(n)
-    step = np.zeros(n)
-    zn = np.zeros((m, n))
-    s = np.zeros(m)
+    cnt = np.zeros(n, np.int64)
+    toward = np.ones(n, np.int64)
+    heap = []                  # (−value, tiebreak, z copy) max-heap
+    pushes = 0
+    bound = math.inf
 
-    k = n - 1
-    zb[k] = zs[k]
-    z[k] = round(zb[k])
-    y = zb[k] - z[k]
-    step[k] = sgn(y)
-    maxdist = 1e99
-    nn = 0
-    imax = 0
-    for _ in range(max_iter):
-        newdist = dist[k] + y * y / d[k]
-        if newdist < maxdist:
-            if k != 0:
-                k -= 1
-                dist[k] = newdist
-                S[k, :k + 1] = (S[k + 1, :k + 1]
-                                + (z[k + 1] - zb[k + 1]) * L[k + 1, :k + 1])
-                zb[k] = zs[k] + S[k, k]
-                z[k] = round(zb[k])
-                y = zb[k] - z[k]
-                step[k] = sgn(y)
-            else:
-                if nn < m:
-                    if nn == 0 or newdist > s[imax]:
-                        imax = nn
-                    zn[nn] = z
-                    s[nn] = newdist
-                    nn += 1
-                else:
-                    if newdist < s[imax]:
-                        zn[imax] = z
-                        s[imax] = newdist
-                        imax = int(np.argmax(s))
-                    maxdist = s[imax]
-                z[0] += step[0]
-                y = zb[0] - z[0]
-                step[0] = -step[0] - sgn(step[0])
-        else:
+    mean[0] = a[0]
+    k = 0
+    nodes = 0
+    while nodes < max_nodes:
+        nodes += 1
+        base = float(np.rint(mean[k]))
+        if cnt[k] == 0:
+            toward[k] = 1 if mean[k] >= base else -1
+        z[k] = base + _zigzag(int(cnt[k]), int(toward[k]))
+        u[k] = z[k] - mean[k]
+        t = acc[k] + u[k] * u[k] / d[k]
+        if t < bound:
             if k == n - 1:
+                heapq.heappush(heap, (-t, pushes, z.copy()))
+                pushes += 1
+                if len(heap) > m:
+                    heapq.heappop(heap)
+                if len(heap) == m:
+                    bound = -heap[0][0]
+                cnt[k] += 1
+            else:
+                acc[k + 1] = t
+                k += 1
+                cnt[k] = 0
+                mean[k] = a[k] + L[k, :k] @ u[:k]
+        else:
+            # Zigzag is distance-ordered: siblings only get worse.
+            if k == 0:
                 break
-            k += 1
-            z[k] += step[k]
-            y = zb[k] - z[k]
-            step[k] = -step[k] - sgn(step[k])
-    order = np.argsort(s[:nn])
-    return zn[order].astype(np.int64), s[order]
+            k -= 1
+            cnt[k] += 1
+    out = sorted(((-negv, zz) for negv, _, zz in heap), key=lambda p: p[0])
+    vecs = np.array([zz for _, zz in out], np.int64).reshape(len(out), n)
+    vals = np.array([v for v, _ in out])
+    return vecs, vals
 
 
 def lambda_ar(a: np.ndarray, Q: np.ndarray, ncands: int = 2):
-    """MLAMBDA: float ambiguities + covariance → integer candidates.
+    """Integer least squares: float ambiguities + covariance → the
+    ncands best integer candidates under the covariance metric.
 
     Returns (cands (ncands, n) int, sq (ncands,) quadratic values) —
     empty arrays when the factorization fails (singular Q)."""
+    a = np.asarray(a, float)
     try:
-        L, d = ldl(np.asarray(Q, float))
+        M, L, d = decorrelate(Q)
     except np.linalg.LinAlgError:
         return np.zeros((0, len(a)), np.int64), np.zeros(0)
-    L, d, Z = reduction(L, d)
-    zs = Z.T @ np.asarray(a, float)
-    zc, sq = search(L, d, zs, m=ncands)
+    zc, sq = search(L, d, M @ a, m=ncands)
     if zc.shape[0] == 0:
         return zc, sq
-    # Back-transform: a = Z⁻ᵀ z (Z is unimodular).
-    Zt_inv = np.linalg.inv(Z.T)
-    cands = np.rint(Zt_inv @ zc.T).T.astype(np.int64)
+    # Back-transform candidates: a_cand = M⁻¹ z (M unimodular → integer).
+    cands = np.rint(np.linalg.solve(M, zc.T)).T.astype(np.int64)
     return cands, sq
 
 

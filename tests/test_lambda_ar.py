@@ -45,22 +45,26 @@ def test_ldl_roundtrip():
     rng = np.random.default_rng(0)
     Q = _rand_spd(6, rng)
     L, d = lambda_ar.ldl(Q)
-    np.testing.assert_allclose(L.T @ np.diag(d) @ L, Q, atol=1e-12)
+    np.testing.assert_allclose(L @ np.diag(d) @ L.T, Q, atol=1e-12)
     # Unit lower triangular.
     np.testing.assert_allclose(np.diag(L), 1.0)
     assert np.allclose(np.triu(L, 1), 0.0)
 
 
-def test_reduction_preserves_quadratic():
-    """Z is unimodular and Q_z = Zᵀ Q Z reproduces the factorization."""
+def test_decorrelate_properties():
+    """M is unimodular integer; Qz = M Q Mᵀ reproduces the returned
+    factorization and is size-reduced (all |L[i,j]| ≤ ½)."""
     rng = np.random.default_rng(1)
     Q = _rand_spd(5, rng)
-    L0, d0 = lambda_ar.ldl(Q)
-    L, d, Z = lambda_ar.reduction(L0, d0)
-    assert abs(abs(np.linalg.det(Z)) - 1.0) < 1e-9
-    np.testing.assert_allclose(Z - np.rint(Z), 0.0, atol=1e-12)
-    Qz = Z.T @ Q @ Z
-    np.testing.assert_allclose(L.T @ np.diag(d) @ L, Qz, atol=1e-9)
+    M, L, d = lambda_ar.decorrelate(Q)
+    assert abs(abs(np.linalg.det(M)) - 1.0) < 1e-9
+    np.testing.assert_allclose(M - np.rint(M), 0.0, atol=1e-12)
+    Qz = M @ Q @ M.T
+    np.testing.assert_allclose(L @ np.diag(d) @ L.T, Qz, atol=1e-9)
+    assert np.all(np.abs(np.tril(L, -1)) <= 0.5 + 1e-9)
+    # No beneficial adjacent swap remains.
+    for i in range(len(d) - 1):
+        assert d[i + 1] + L[i + 1, i] ** 2 * d[i] >= d[i] * (1 - 1e-6)
 
 
 @pytest.mark.parametrize("seed", [2, 3, 4, 5, 6])
@@ -75,6 +79,31 @@ def test_search_matches_brute_force(seed):
     np.testing.assert_array_equal(cands[0], zb)
     assert abs(sq[0] - v1) < 1e-9
     assert abs(sq[1] - v2) < 1e-6
+
+
+@pytest.mark.parametrize("seed,cond", [(7, 1e4), (8, 1e4), (9, 1e5)])
+def test_search_brute_force_ill_conditioned(seed, cond):
+    """Highly correlated ambiguities — the regime decorrelation exists
+    for; a naive rounding would fail here."""
+    rng = np.random.default_rng(seed)
+    n = 6
+    Q = _rand_spd(n, rng, cond=cond)
+    a_true = rng.integers(-30, 30, size=n).astype(float)
+    a = a_true + 0.4 * np.linalg.cholesky(Q) @ rng.normal(size=n)
+    cands, sq = lambda_ar.lambda_ar(a, Q)
+    # The true optimum can sit outside a small box around round(a) in
+    # these correlated problems (that is the point of decorrelation):
+    # check (1) we beat-or-match the round(a) box optimum, and (2) no
+    # integer vector within radius 2 of OUR candidate beats it.
+    _, v1, _ = _brute_force(a, Q, radius=2)
+    assert sq[0] <= v1 + 1e-8
+    Qi = np.linalg.inv(Q)
+    r0 = cands[0] - a
+    assert abs(sq[0] - r0 @ Qi @ r0) < 1e-8
+    best_local = min(
+        (cands[0] + np.array(off) - a) @ Qi @ (cands[0] + np.array(off) - a)
+        for off in itertools.product(range(-2, 3), repeat=n))
+    assert sq[0] <= best_local + 1e-8
 
 
 def test_fix_recovers_integers_and_tightens_position():
