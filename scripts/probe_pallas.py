@@ -15,6 +15,27 @@ import multiprocessing as mp
 import sys
 
 
+def _try_copy_kernel(q):
+    """The most trivial Mosaic program possible: an 8x128 VMEM copy.
+
+    Distinguishes "Mosaic AOT compilation is dead on this platform" from
+    "the kNN kernel specifically trips it" (VERDICT r3 item 8).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    def copy_kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...]
+
+    x = jnp.arange(8 * 128, dtype=jnp.float32).reshape(8, 128)
+    y = pl.pallas_call(
+        copy_kernel, out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+    )(x)
+    y.block_until_ready()
+    q.put("copy-ok" if float(y[3, 17]) == float(x[3, 17]) else "copy-bad")
+
+
 def _try_compile(q):
     import jax.numpy as jnp
     from glio_tpu.ops.knn_pallas import knn_pallas
@@ -28,23 +49,35 @@ def _try_compile(q):
     q.put("ok")
 
 
-def main(timeout_s: float = 90.0) -> int:
+def _bounded(target, timeout_s: float):
     ctx = mp.get_context("spawn")
     q = ctx.Queue()
-    proc = ctx.Process(target=_try_compile, args=(q,))
+    proc = ctx.Process(target=target, args=(q,))
     proc.start()
     proc.join(timeout_s)
     if proc.is_alive():
         proc.terminate()
         proc.join(5)
-        print("PALLAS-HANG: Mosaic compile did not finish in "
-              f"{timeout_s:.0f}s (platform bug still present)")
-        return 1
+        return "hang"
     if proc.exitcode == 0 and not q.empty():
+        return q.get()
+    return f"exit-{proc.exitcode}"
+
+
+def main(timeout_s: float = 90.0) -> int:
+    copy = _bounded(_try_copy_kernel, timeout_s)
+    if copy != "copy-ok":
+        print(f"PALLAS-DEAD: even an 8x128 copy kernel fails ({copy}) — "
+              "Mosaic AOT itself is broken on this platform, not any "
+              "specific kernel")
+        return 1
+    knn = _bounded(_try_compile, timeout_s)
+    if knn == "ok":
         print("PALLAS-OK: Mosaic compile succeeded — the fused kernel "
               "path can be re-enabled")
         return 0
-    print(f"PALLAS-FAIL: probe process exited {proc.exitcode}")
+    print(f"PALLAS-PARTIAL: copy kernel compiles but the kNN kernel "
+          f"fails ({knn}) — kernel-specific issue")
     return 2
 
 
