@@ -136,7 +136,7 @@ def solve_epochs_dd(sat_pos, psr_rov, psr_sta, valid, system, master,
 class FloatFilterOut(NamedTuple):
     pos: jnp.ndarray      # (E, 3) ECEF
     vel: jnp.ndarray      # (E, 3) ECEF
-    pos_cov: jnp.ndarray  # (E, 3, 3)
+    pos_cov: jnp.ndarray  # (E, 3, 3) — inflated by `consist` (see below)
     amb: jnp.ndarray      # (E, M) SD float ambiguities (m)
     amb_var: jnp.ndarray  # (E, M) diagonal variance of the ambiguities
     ok: jnp.ndarray       # (E,) enough DDs + finite
@@ -146,6 +146,13 @@ class FloatFilterOut(NamedTuple):
     pa_cov: jnp.ndarray   # (E, 3, M) position × ambiguity cross-covariance
                           # (both feed LAMBDA integer resolution + the
                           # conditional fixed-position update, lambda_ar.py)
+    consist: jnp.ndarray = None  # (E,) smoothed code-innovation chi-square
+                          # ratio (≥1): the variance factor applied to
+                          # pos_cov. ≈1 when the filter is statistically
+                          # consistent; ≫1 when the code evidence
+                          # systematically disagrees with the
+                          # carrier-tightened state (the biased-but-
+                          # smooth failure mode, VERDICT r3 weak #3)
 
 
 def arc_tracking(gnss, max_gap: float = 2.5, dopp_jump: float = 5.0):
@@ -210,17 +217,31 @@ def _pair_structure(valid, system, master, M):
 
 
 @partial(jax.jit, static_argnames=("accel_sigma", "code_huber", "car_huber",
-                                   "eratio"))
+                                   "eratio", "innov_gate", "consist_alpha"))
 def float_filter(sat_pos, sat_vel, sat_ddt, psr_rov, psr_sta, car_rov,
                  car_sta, car_valid, dopp_rov, valid, system, master,
                  elevation, snr, prev_slot, slip, times, station_ecef, x0,
                  accel_sigma: float = 2.0, code_huber: float = 2.0,
-                 car_huber: float = 4.0, eratio: float = 100.0):
+                 car_huber: float = 4.0, eratio: float = 100.0,
+                 innov_gate: float = 6.0, consist_alpha: float = 0.05):
     """Forward float-RTK Kalman filter over the whole mission (one scan).
 
     All epoch tensors are (E, M) / (E, M, 3); `x0` is the cold-start ECEF
     position (e.g. first SPP fix). Returns FloatFilterOut.
     State: [p(3), v(3), SD-ambiguity(M)] with slot-remapped arcs.
+
+    Innovation gating (chi-square, VERDICT r3 weak #3): each code/carrier
+    row's innovation is normalized by its PREDICTED standard deviation
+    √(hᵀPh + σ²) — not by σ alone, which over-gates a cold filter and
+    under-gates a converged one. Rows with |ν| > ``innov_gate`` are
+    rejected outright (missed slips, gross NLOS); Huber applies between.
+    The per-epoch robust code chi-square ratio (median ν² / 0.455, the
+    χ²₁ median) is EMA-smoothed into ``consist`` and multiplies the
+    REPORTED position covariance: a carrier-tightened state that the
+    code evidence systematically contradicts (the synthesized-station
+    bias mode — tens of metres of error behind a centimetre formal
+    covariance) now reports a covariance the LC gate
+    (Estimator.cpp:1963-1969 analogue) actually rejects.
     """
     E, M = valid.shape
     N = 6 + M
@@ -229,7 +250,8 @@ def float_filter(sat_pos, sat_vel, sat_ddt, psr_rov, psr_sta, car_rov,
     PHI_RW = 1e-6      # per-step ambiguity random walk (m^2)
 
     def epoch_update(carry, inp):
-        x, P, t_prev, started = carry
+        (x, P, t_prev, started, c_ema, b_ema, dp_prev, C_ema, num_ema,
+         den_ema) = carry
         (spos, svel, sddt, prov, psta, crov, csta, cok, dop, vld, sysm,
          mast, el, sn, prev, slp, t_k) = inp
 
@@ -308,14 +330,60 @@ def float_filter(sat_pos, sat_vel, sat_ddt, psr_rov, psr_sta, car_rov,
         w_code = jnp.where(m_code, 1.0 / sig_code, 0.0)
         w_car = jnp.where(cok_pair, eratio / sig_code, 0.0)
 
-        # Robust innovation gating (deep-urban NLOS on code; missed slips
-        # on carrier).
-        zc = res_code * w_code
-        w_code = w_code * jnp.minimum(
-            1.0, code_huber / jnp.maximum(jnp.abs(zc), 1e-9))
-        zp = res_car * w_car
-        w_car = w_car * jnp.minimum(
-            1.0, car_huber / jnp.maximum(jnp.abs(zp), 1e-9))
+        # Innovation-referenced robust gating: each row normalized by its
+        # PREDICTED innovation std √(hᵀPh + σ²) — chi-square per row.
+        def innov_nu(Hrows, res, sig_meas, mask):
+            HP = Hrows @ P
+            s = jnp.sqrt(jnp.maximum(jnp.sum(HP * Hrows, axis=1), 0.0)
+                         + sig_meas ** 2)
+            return jnp.where(mask, res / jnp.maximum(s, 1e-12), 0.0)
+
+        def robust_factor(nu, huber):
+            f = jnp.minimum(1.0, huber / jnp.maximum(jnp.abs(nu), 1e-9))
+            return jnp.where(jnp.abs(nu) > innov_gate, 0.0, f)
+
+        nu_c = innov_nu(H_code, res_code, sig_code, m_code)
+        nu_p = innov_nu(H_car, res_car, sig_code / eratio, cok_pair)
+        w_code = w_code * robust_factor(nu_c, code_huber)
+        w_car = w_car * robust_factor(nu_p, car_huber)
+
+        # Per-epoch robust code chi-square ratio (pre-gating): median ν²
+        # over valid code rows against the χ²₁ median 0.455, smoothed by
+        # EMA — the filter's own statistical consistency certificate.
+        nu2 = jnp.where(m_code, nu_c ** 2, jnp.nan)
+        chi_ratio = jnp.nanmedian(nu2) / 0.455
+        code_ok = jnp.sum(m_code) >= 4
+        chi_ratio = jnp.where(jnp.isfinite(chi_ratio) & code_ok,
+                              chi_ratio, 1.0)
+        c_ema = (1.0 - consist_alpha) * c_ema + consist_alpha * chi_ratio
+
+        # Position-domain code discrepancy: where the absolute (code)
+        # evidence says the state should move, smoothed across epochs —
+        # a bias estimate the innovation variance factor cannot see when
+        # the filter slowly FOLLOWS biased evidence. Enters the reported
+        # covariance below, not the state.
+        Ac = H_code[:, :3] * w_code[:, None]      # robust weights included
+        Nc = Ac.T @ Ac + 1e-2 * jnp.eye(3, dtype=F64)
+        dp_code = spd_solve(Nc, Ac.T @ (res_code * w_code))
+        dp_code = jnp.where(code_ok, dp_code, jnp.zeros(3, F64))
+        b_ema = (1.0 - consist_alpha) * b_ema + consist_alpha * dp_code
+
+        # Absolute-information floor: the carrier fixes RELATIVE motion
+        # only — absolute position is never better than the code
+        # evidence averaged over its decorrelation time. Track (a) the
+        # MEASURED second moment of the position-domain code discrepancy
+        # (the model sigmas understate deep-urban NLOS by an order of
+        # magnitude, so the scale must come from the data) and (b) its
+        # lag-1 autocorrelation: white evidence averages down over the
+        # window H = 1/alpha; correlated evidence does not average.
+        upd = jnp.where(code_ok, consist_alpha, 0.0)
+        C_ema = (1.0 - upd) * C_ema + upd * jnp.outer(dp_code, dp_code)
+        num_ema = (1.0 - upd) * num_ema + upd * jnp.dot(dp_code, dp_prev)
+        den_ema = (1.0 - upd) * den_ema + upd * jnp.dot(dp_code, dp_code)
+        dp_prev = jnp.where(code_ok, dp_code, dp_prev)
+        rho = jnp.clip(num_ema / jnp.maximum(den_ema, 1e-12), 0.0, 0.95)
+        tau_corr = (1.0 + rho) / (1.0 - rho)          # epochs, in [1, 39]
+        floor = C_ema * jnp.minimum(tau_corr * consist_alpha, 1.0)
 
         # Doppler rows (velocity observability; receiver clock drift
         # eliminated in closed form as in models.batch._dopp_residuals).
@@ -357,12 +425,21 @@ def float_filter(sat_pos, sat_vel, sat_ddt, psr_rov, psr_sta, car_rov,
         n_dd = jnp.sum(m_code)
         n_car = jnp.sum(cok_pair)
         ok = (n_dd >= 4) & jnp.all(jnp.isfinite(x[:6]))
+        infl = jnp.maximum(c_ema, 1.0)
+        # Reported covariance = (formal + smoothed-code-bias outer
+        # product) × consistency factor, PLUS the correlation-adjusted
+        # absolute-evidence floor: honest against scatter mis-modeling
+        # (infl), slowly-followed biased evidence (b_ema), and evidence
+        # whose errors do not average down (floor). The filter state
+        # itself is untouched.
+        cov_rep = (P[:3, :3] + jnp.outer(b_ema, b_ema)) * infl + floor
         out = FloatFilterOut(
-            pos=x[:3], vel=x[3:6], pos_cov=P[:3, :3],
+            pos=x[:3], vel=x[3:6], pos_cov=cov_rep,
             amb=x[6:], amb_var=jnp.diag(P)[6:],
             ok=ok, n_dd=n_dd, n_car=n_car,
-            amb_cov=P[6:, 6:], pa_cov=P[:3, 6:])
-        return (x, P, t_k, started | True), out
+            amb_cov=P[6:, 6:], pa_cov=P[:3, 6:], consist=infl)
+        return (x, P, t_k, started | True, c_ema, b_ema, dp_prev, C_ema,
+                num_ema, den_ema), out
 
     x0f = jnp.zeros(N, F64).at[:3].set(jnp.asarray(x0, F64))
     P0 = jnp.eye(N, dtype=F64) * BIG
@@ -372,9 +449,11 @@ def float_filter(sat_pos, sat_vel, sat_ddt, psr_rov, psr_sta, car_rov,
     inputs = (sat_pos, sat_vel, sat_ddt, psr_rov, psr_sta, car_rov,
               car_sta, car_valid, dopp_rov, valid, system, master,
               elevation, snr, prev_slot, slip, times)
-    (_, _, _, _), outs = jax.lax.scan(
-        epoch_update,
-        (x0f, P0, jnp.asarray(times[0], F64), jnp.asarray(False)), inputs)
+    carry0 = (x0f, P0, jnp.asarray(times[0], F64), jnp.asarray(False),
+              jnp.asarray(1.0, F64), jnp.zeros(3, F64),
+              jnp.zeros(3, F64), jnp.zeros((3, 3), F64),
+              jnp.asarray(0.0, F64), jnp.asarray(0.0, F64))
+    _, outs = jax.lax.scan(epoch_update, carry0, inputs)
     return outs
 
 

@@ -37,7 +37,9 @@ class PipelineResult:
     q_sw: np.ndarray
     p_batch: Optional[np.ndarray] = None
     q_batch: Optional[np.ndarray] = None
-    cov_batch: Optional[np.ndarray] = None      # (T, 6, 6) marginals
+    cov_batch: Optional[np.ndarray] = None      # (T, 6, 6) formal marginals
+    cov_batch_cal: Optional[np.ndarray] = None  # (T, 6, 6) residual-
+                                                # consistency calibrated
     p_lc: Optional[np.ndarray] = None
     q_lc: Optional[np.ndarray] = None
     n_loop_edges: int = 0
@@ -511,18 +513,37 @@ def _finish_pipeline(ep, cfg, out_dir, run_batch, run_lc,
         # publishes alongside its poses.
         res.cov_batch = np.asarray(batch_mod.batch_marginal_covariance(
             cfg, prob, p_b, q_b))
+        cov_cal, cal_rep = batch_mod.calibrate_batch_covariance(
+            cfg, prob, p_b, q_b, res.cov_batch)
+        res.cov_batch_cal = np.asarray(cov_cal)
         if out_dir:
             llh, ypr, enu = _georef(res.p_batch, res.q_batch, anchor, yaw)
             traj.write_result_csv(
                 os.path.join(out_dir, "tc_batch_result.csv"),
                 res.kf_time, llh, ypr, enu)
-            std = np.sqrt(np.maximum(np.diagonal(
+            std_cal = np.sqrt(np.maximum(np.diagonal(
+                res.cov_batch_cal, axis1=1, axis2=2), 0.0))
+            std_frm = np.sqrt(np.maximum(np.diagonal(
                 res.cov_batch, axis1=1, axis2=2), 0.0))
-            np.savetxt(
-                os.path.join(out_dir, "tc_batch_cov.csv"),
-                np.column_stack([res.kf_time, std]), delimiter=",",
-                header="time,std_px,std_py,std_pz,std_rx,std_ry,std_rz",
-                comments="")
+            with open(os.path.join(out_dir, "tc_batch_cov.csv"), "w") as f:
+                f.write(
+                    "# std_p*: CALIBRATED translation stds (m): formal "
+                    "information-matrix marginal + the windowed-median "
+                    "GNSS-evidence discrepancy in quadrature (sim-"
+                    "validated ~1-2 sigma coverage, tests/"
+                    "test_batch_cov.py). formal_p* are the raw "
+                    "information-matrix marginals: they model the "
+                    "assumed white measurement noise ONLY and are "
+                    "10-100x optimistic under NLOS/atmosphere bias — "
+                    "do not gate on them.\n"
+                    f"# calibration: {'applied' if cal_rep['calibrated'] else 'SKIPPED (too little GNSS)'}"
+                    f", n_epochs={cal_rep['n_epochs']}\n")
+                f.write("time,std_px,std_py,std_pz,"
+                        "std_rx,std_ry,std_rz,"
+                        "formal_px,formal_py,formal_pz\n")
+                np.savetxt(f, np.column_stack(
+                    [res.kf_time, std_cal, std_frm[:, :3]]),
+                    delimiter=",")
 
     # --- stage 3: loosely-coupled fusion --------------------------------
     if run_lc:
