@@ -132,3 +132,71 @@ def test_lc_whampoa_parity_regression():
     # Measured round 3 (robust DD fixes): 63.4 m RMSE / 111.3 max.
     assert r1 < 75.0, r1
     assert e1.max() < 140.0, e1.max()
+
+
+def test_lc_whampoa_float_ar_parity_regression():
+    """Pins the round-4 float+AR LC leg (VERDICT r3 item 5): the
+    innovation-gated float filter's HONEST covariance lets the LC solve
+    downweight the biased fixes — measured 59.7 m RMSE vs lc_result.csv
+    (round 3, formal covariance: 64.5 m), with 5 m-gate passes down
+    1178 -> ~982. Guards the filter's consistency/floor machinery and
+    the LAMBDA chain on real data."""
+    import os
+    import jax.numpy as jnp
+    from glio_tpu.data.episode import GnssEpochs
+    from glio_tpu.eval.trajectory import read_result_csv, associate, \
+        ate_rmse
+    from glio_tpu.gnss import lambda_ar, rtk
+    from glio_tpu.models.batch import despike_trajectory
+    from glio_tpu.utils import coords as C
+    from glio_tpu.utils import quat
+
+    cache = "/tmp/whampoa_gnss.npz"
+    ref = "/root/reference/result/lc_result.csv"
+    if not (os.path.exists(cache) and os.path.exists(ref)):
+        import pytest
+        pytest.skip("Whampoa cache / reference CSVs not available")
+    ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
+    STATION = np.array([-2414266.9200, 5386768.9870, 2407460.0310])
+    z = np.load(cache)
+    g = GnssEpochs(**{k: z[k] for k in z.files})
+    sw = read_result_csv("/root/reference/result/tc_sw_result.csv")
+    lc = read_result_csv(ref)
+    q_odo = np.asarray(quat.from_ypr(jnp.asarray(np.deg2rad(sw.ypr_deg))))
+    p_sw, q_odo, _ = despike_trajectory(sw.enu, q_odo, sw.time)
+
+    x0 = np.asarray(C.enu2ecef(jnp.asarray(p_sw[0]), jnp.asarray(ANCHOR)))
+    flt = rtk.run_float_filter(g, STATION, x0)
+    sig = np.sqrt(np.maximum(
+        np.trace(np.asarray(flt.pos_cov), axis1=1, axis2=2) / 3, 1e-6))
+    ok = np.asarray(flt.ok) & (sig < 5.0)
+    # The honest covariance rejects a third of what the formal one
+    # passed (measured 982 vs 1178) while keeping a usable set.
+    assert 700 < ok.sum() < 1100, ok.sum()
+
+    pos_ar, fixed, _ = lambda_ar.resolve_trajectory(g, flt)
+    fixes = np.asarray(flt.pos).copy()
+    fixes[fixed] = pos_ar[fixed]
+    sig = np.where(fixed, np.minimum(sig, 0.5), sig)
+
+    enu_fix = np.asarray(C.ecef2enu(jnp.asarray(fixes), jnp.asarray(ANCHOR)))
+    T = p_sw.shape[0]
+    ia, ib = associate(sw.time, g.time, max_dt=0.25)
+    gp = np.zeros((T, 3))
+    gv = np.zeros(T, bool)
+    gs = np.ones(T)
+    for a, b in zip(ia, ib):
+        if ok[b]:
+            gp[a] = enu_fix[b]
+            gv[a] = True
+            gs[a] = max(sig[b], 0.5)
+    prob = lc_fusion.build_problem(p_sw, q_odo, gp, gv, gs,
+                                   min_spacing_m=5.0)
+    p, q, cost = lc_fusion.solve(prob, jnp.asarray(p_sw),
+                                 jnp.asarray(q_odo), gn_iters=8,
+                                 pcg_iters=400, gnss_huber=2.0)
+    ia2, ib2 = associate(sw.time, lc.time)
+    r1, e1 = ate_rmse(np.asarray(p)[ia2], lc.enu[ib2])
+    # Measured round 4: 59.7 m RMSE / 119.8 max.
+    assert r1 < 70.0, r1
+    assert e1.max() < 140.0, e1.max()
