@@ -316,3 +316,27 @@ def test_divergence_recovery_via_config_gates():
     # round-off — assertions are phase-robust.)
     assert err_rec[-8:].min() < 6.0, err_rec[-8:]
     assert tail_rec < 0.5 * tail_off, (tail_rec, tail_off)
+
+
+def test_skyplot_svg_real_data(tmp_path):
+    """Headless skyplot (nlosExclusion puSkyplot.py counterpart): renders
+    the real Whampoa mission's satellite visibility to a valid SVG with
+    all four constellations and plausible track counts."""
+    import os
+    import xml.etree.ElementTree as ET
+    cache = "/tmp/whampoa_gnss.npz"
+    if not os.path.exists(cache):
+        import pytest
+        pytest.skip("Whampoa cache not available")
+    import numpy as np
+    from glio_tpu.data.episode import GnssEpochs
+    from glio_tpu.eval import skyplot
+    z = np.load(cache)
+    g = GnssEpochs(**{k: z[k] for k in z.files})
+    out = tmp_path / "sky.svg"
+    rep = skyplot.write_skyplot_svg(str(out), g, title="Whampoa")
+    assert rep["n_sats"] > 20, rep
+    assert set(rep["per_system"]) >= {"GPS", "BDS"}, rep
+    root = ET.parse(str(out)).getroot()   # well-formed XML
+    assert root.tag.endswith("svg")
+    assert len(root) > 50                 # rings + tracks + labels
