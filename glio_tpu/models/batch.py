@@ -1097,6 +1097,90 @@ def _prep_prefix(p_cur, q_cur, kf_dt, ep_valid0, ep_left, n, R: int):
     return rel_dp, rel_dq, rel_valid, ep_valid
 
 
+@jax.jit
+def _mask_prefix(rel_valid0, ep_valid0, ep_left, n):
+    T, R = rel_valid0.shape
+    idx = jnp.arange(T)
+    rel_valid = rel_valid0 & (idx < n)[:, None] & \
+        (idx[:, None] + jnp.arange(1, R + 1)[None, :] < n)
+    ep_valid = ep_valid0 & (ep_left + 1 < n)
+    return rel_valid, ep_valid
+
+
+def optimize_batch_reference_cadence(cfg: GlioConfig, prob: BatchProblem,
+                                     every: int = 10, lm_iters: int = 4,
+                                     thresholds=(1e9, 10.0, 8.0, 6.0),
+                                     final_lm_iters=(40, 12, 8, 8),
+                                     solver: str = "direct",
+                                     robust: RobustOpts = NO_ROBUST,
+                                     verbose: bool = False):
+    """The reference's ACTUAL backendFusionThread cadence: every `every`
+    new keyframes (once ≥30 exist), run a FRESH annealed batch solve over
+    the current sliding-window trajectory prefix.
+
+    Faithfulness notes (Estimator.cpp): each run begins with
+    ``*pose_info_keyframe_batch = *pose_info_keyframe`` (:2751) — the
+    batch re-snapshots the live SW poses and derives all scan-to-multiscan
+    constraints from THAT snapshot; its output goes only to
+    ``pose_info_keyframe_batch``/CSV (:3306-3399) and is never written
+    back into ``pose_info_keyframe`` (verified: no other writer), so
+    consecutive batch runs share no state. The cadence gate is :2740-2748
+    (<30 keyframes: skip; re-run per 10 new). The self-feedback
+    alternative (``optimize_batch_incremental(rederive=True)``) was
+    measured WORSE at this cadence (23.98 m vs golden batch at every=10:
+    early small-prefix wander gets baked into the re-derived relatives
+    and the absolute epoch gate locks recovery out) — evidence FOR the
+    reference's no-feedback design, recorded in the README.
+
+    Returns (p, q, stats): the final full-trajectory solve at the parity
+    budget plus per-re-solve wall-time statistics (the real-time
+    question: does a full re-solve fit in the 10-keyframe ≈ 3.4 s budget
+    the reference's thread has at 3 Hz?).
+    """
+    import time as _time
+    T = prob.p_odo.shape[0]
+    # Warm the two compile shapes (per-re-solve budget, final budget) so
+    # the recorded latencies are execution, not compilation.
+    rel_w, ep_w = _mask_prefix(prob.rel_valid, prob.ep_valid, prob.ep_left,
+                               jnp.asarray(30, jnp.int32))
+    pw = optimize_batch(cfg, prob._replace(rel_valid=rel_w, ep_valid=ep_w),
+                        thresholds=thresholds, lm_iters=lm_iters,
+                        solver=solver, robust=robust)
+    jax.block_until_ready(pw[:2])
+    pw = optimize_batch(cfg, prob._replace(rel_valid=rel_w, ep_valid=ep_w),
+                        thresholds=thresholds, lm_iters=final_lm_iters,
+                        solver=solver, robust=robust)
+    jax.block_until_ready(pw[:2])
+    times = []
+    for n in range(30, T, every):
+        rel_valid, ep_valid = _mask_prefix(
+            prob.rel_valid, prob.ep_valid, prob.ep_left,
+            jnp.asarray(n, jnp.int32))
+        prob_n = prob._replace(rel_valid=rel_valid, ep_valid=ep_valid)
+        t0 = _time.perf_counter()
+        p, q, costs = optimize_batch(cfg, prob_n, thresholds=thresholds,
+                                     lm_iters=lm_iters, solver=solver,
+                                     robust=robust)
+        jax.block_until_ready((p, q))
+        times.append(_time.perf_counter() - t0)
+        if verbose and (n // every) % 20 == 0:
+            print(f"  batch re-solve n={n}: {times[-1]:.2f} s "
+                  f"cost {costs[-1]:.0f}", flush=True)
+    t0 = _time.perf_counter()
+    p, q, costs = optimize_batch(cfg, prob, thresholds=thresholds,
+                                 lm_iters=final_lm_iters, solver=solver,
+                                 robust=robust)
+    jax.block_until_ready((p, q))
+    t_final = _time.perf_counter() - t0
+    times_arr = np.asarray(times) if times else np.zeros(1)
+    stats = {"n_resolves": len(times), "final_s": t_final,
+             "resolve_mean_s": float(times_arr.mean()),
+             "resolve_p50_s": float(np.median(times_arr)),
+             "resolve_max_s": float(times_arr.max()),
+             "total_s": float(times_arr.sum() + t_final)}
+    return p, q, stats
+
+
 def optimize_batch_incremental(cfg: GlioConfig, prob: BatchProblem, kf_time,
                                every: int = 50,
                                thresholds=(1e9, 10.0, 8.0, 6.0),
@@ -1440,6 +1524,61 @@ def _assemble_sms1_pose_impl(p, q, prob: BatchProblem, sms: Sms1Data,
     return band + band_dd, grad + grad_dd
 
 
+@partial(jax.jit, static_argnames=("cfg", "lm_iters", "solver", "mixed"))
+def _sms1_solve_once(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
+                     p0, q0, threshold, lm_iters: int, solver: str,
+                     mixed: bool):
+    """One annealing stage of the pose-only level-1 solve.
+
+    MODULE-LEVEL jit (like ``solve_batch_once``): a closure-local jit
+    would create a fresh cache entry per ``optimize_batch_sms1`` call —
+    measured on the level-1-with-IMU twin as 13 s/"iteration" of pure
+    retracing/compile-cache reload against ~0.2 s of actual execution.
+    """
+    hw = cfg.estimator.search_range + 1
+
+    def cost_fn(p, q):
+        r_att = _rel_residuals(p, q, prob)[..., :3]     # attitude rows
+        r_sms = _sms1_residuals(p, q, sms)
+        r_dd = _dd_residuals(p, prob, threshold)
+        return 0.5 * (jnp.sum(r_att ** 2) + jnp.sum(r_sms ** 2)
+                      + jnp.sum(r_dd ** 2))
+
+    def step(carry, _):
+        p, q, lam, cost = carry
+        band, grad = _assemble_sms1_pose(p, q, prob, sms, threshold,
+                                         hw, mixed=mixed)
+        diag = band[:, hw]
+        damped = diag + lam * (
+            jnp.eye(POSE_DOF, dtype=F64) * jnp.maximum(
+                jnp.diagonal(diag, axis1=-2, axis2=-1),
+                1.0)[..., None, :] * jnp.eye(POSE_DOF, dtype=F64))
+        band2 = band.at[:, hw].set(damped)
+        if solver == "direct":
+            dx = (banded.cyclic_reduction_solve_mixed(band2, -grad)
+                  if mixed else
+                  banded.cyclic_reduction_solve(band2, -grad))
+        elif solver == "chol_pcg":
+            dx = banded.pcg_chol_solve(band2, -grad)
+        else:
+            dx, _ = banded.pcg_solve(band2, -grad, iters=200)
+        p_new, q_new = _retract(p, q, dx.reshape(-1))
+        new_cost = cost_fn(p_new, q_new)
+        better = new_cost < cost
+        p = jnp.where(better, p_new, p)
+        q = jnp.where(better, q_new, q)
+        cost = jnp.where(better, new_cost, cost)
+        lam = jnp.clip(jnp.where(better, lam * 0.3, lam * 5.0),
+                       1e-9, 1e6)
+        return (p, q, lam, cost), None
+
+    cost0 = cost_fn(p0, q0)
+    (p, q, _, cost), _ = jax.lax.scan(
+        step, (p0, q0, jnp.asarray(1e-4, F64), cost0), None,
+        length=lm_iters)
+    return p, q, cost
+
+
 def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
                         thresholds=(1e9, 10.0, 8.0, 6.0), lm_iters=6,
                         solver: str = "direct", mixed: bool = True):
@@ -1451,55 +1590,12 @@ def optimize_batch_sms1(cfg: GlioConfig, prob: BatchProblem, sms: Sms1Data,
     which also chains ImuFactors over 15-dof states — see
     ``optimize_batch_sms1_imu``.
     """
-    hw = cfg.estimator.search_range + 1
-
-    @partial(jax.jit, static_argnames=())
-    def solve_once(p0, q0, threshold):
-        def cost_fn(p, q):
-            r_att = _rel_residuals(p, q, prob)[..., :3]     # attitude rows
-            r_sms = _sms1_residuals(p, q, sms)
-            r_dd = _dd_residuals(p, prob, threshold)
-            return 0.5 * (jnp.sum(r_att ** 2) + jnp.sum(r_sms ** 2)
-                          + jnp.sum(r_dd ** 2))
-
-        def step(carry, _):
-            p, q, lam, cost = carry
-            band, grad = _assemble_sms1_pose(p, q, prob, sms, threshold,
-                                             hw, mixed=mixed)
-            diag = band[:, hw]
-            damped = diag + lam * (
-                jnp.eye(POSE_DOF, dtype=F64) * jnp.maximum(
-                    jnp.diagonal(diag, axis1=-2, axis2=-1),
-                    1.0)[..., None, :] * jnp.eye(POSE_DOF, dtype=F64))
-            band2 = band.at[:, hw].set(damped)
-            if solver == "direct":
-                dx = (banded.cyclic_reduction_solve_mixed(band2, -grad)
-                      if mixed else
-                      banded.cyclic_reduction_solve(band2, -grad))
-            elif solver == "chol_pcg":
-                dx = banded.pcg_chol_solve(band2, -grad)
-            else:
-                dx, _ = banded.pcg_solve(band2, -grad, iters=200)
-            p_new, q_new = _retract(p, q, dx.reshape(-1))
-            new_cost = cost_fn(p_new, q_new)
-            better = new_cost < cost
-            p = jnp.where(better, p_new, p)
-            q = jnp.where(better, q_new, q)
-            cost = jnp.where(better, new_cost, cost)
-            lam = jnp.clip(jnp.where(better, lam * 0.3, lam * 5.0),
-                           1e-9, 1e6)
-            return (p, q, lam, cost), None
-
-        cost0 = cost_fn(p0, q0)
-        (p, q, _, cost), _ = jax.lax.scan(
-            step, (p0, q0, jnp.asarray(1e-4, F64), cost0), None,
-            length=lm_iters)
-        return p, q, cost
-
     p, q = prob.p_odo, prob.q_odo
     costs = []
     for th in thresholds:
-        p, q, cost = solve_once(p, q, jnp.asarray(th, F64))
+        p, q, cost = _sms1_solve_once(cfg, prob, sms, p, q,
+                                      jnp.asarray(th, F64), lm_iters,
+                                      solver, mixed)
         costs.append(float(cost))
     return p, q, costs
 
@@ -1599,104 +1695,8 @@ def optimize_batch_sms1_imu(cfg: GlioConfig, prob: BatchProblem,
 
     Returns (p, q, v, ba, bg, costs).
     """
-    from ..factors import imu as imu_factors
-    hw = cfg.estimator.search_range + 1
-    T = prob.p_odo.shape[0]
-    gravity = imu_factors.ImuParams(
-        cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w,
-        cfg.imu.gravity).gravity_vec()
-
-    @partial(jax.jit, static_argnames=())
-    def solve_once(p0, q0, vv0, bba0, bbg0, threshold):
-        def cost_fn(p, q, v, ba, bg):
-            r_att = _rel_residuals(p, q, prob)[..., :3]
-            r_sms = _sms1_residuals(p, q, sms)
-            r_dd = _dd_residuals(p, prob, threshold)
-            r_imu = _imu_chain_residuals(p, q, v, ba, bg, chain, gravity)
-            return 0.5 * (jnp.sum(r_att ** 2) + jnp.sum(r_sms ** 2)
-                          + jnp.sum(r_dd ** 2) + jnp.sum(r_imu ** 2))
-
-        def step(carry, _):
-            p, q, v, ba, bg, lam, cost = carry
-            # Pose rows → 6-dof band, embedded in the 15-block corner.
-            band6, grad6 = _assemble_sms1_pose(p, q, prob, sms, threshold,
-                                               hw, mixed=mixed)
-            band = jnp.zeros((T, 2 * hw + 1, STATE15, STATE15), F64)
-            band = band.at[:, :, :POSE_DOF, :POSE_DOF].set(band6)
-            grad = jnp.zeros((T, STATE15), F64)
-            grad = grad.at[:, :POSE_DOF].set(grad6)
-
-            # IMU edges (i, i+1): full 15×15 coupling via per-edge jacfwd.
-            zero15 = jnp.zeros(STATE15, F64)
-
-            def imu_fn(di, dj, S, pre, valid, pi, qi, vi, bai, bgi,
-                       pj, qj, vj, baj, bgj):
-                pi2, qi2, vi2, bai2, bgi2 = (
-                    pi + di[0:3], quat.mul(qi, quat.exp(di[3:6])),
-                    vi + di[6:9], bai + di[9:12], bgi + di[12:15])
-                pj2, qj2, vj2, baj2, bgj2 = (
-                    pj + dj[0:3], quat.mul(qj, quat.exp(dj[3:6])),
-                    vj + dj[6:9], baj + dj[9:12], bgj + dj[12:15])
-                r = imu_factors.whitened_residual_cached(
-                    S, pre, pi2, qi2, vi2, bai2, bgi2,
-                    pj2, qj2, vj2, baj2, bgj2, gravity=gravity)
-                return jnp.where(valid, r, 0.0)
-
-            res, (Ji, Jj) = jax.vmap(
-                lambda *a: (imu_fn(zero15, zero15, *a),
-                            jax.jacfwd(imu_fn, argnums=(0, 1))(
-                                zero15, zero15, *a)))(
-                chain.sqrt_info, chain.pres, chain.valid,
-                p[:-1], q[:-1], v[:-1], ba[:-1], bg[:-1],
-                p[1:], q[1:], v[1:], ba[1:], bg[1:])
-            i_idx = jnp.arange(T - 1, dtype=jnp.int32)
-            j_idx = i_idx + 1
-            Hij = jnp.einsum("nri,nrj->nij", Ji, Jj)
-            band = banded.scatter_add_blocks(
-                band, i_idx, i_idx, jnp.einsum("nri,nrj->nij", Ji, Ji), hw)
-            band = banded.scatter_add_blocks(band, i_idx, j_idx, Hij, hw)
-            band = banded.scatter_add_blocks(
-                band, j_idx, i_idx, jnp.swapaxes(Hij, -1, -2), hw)
-            band = banded.scatter_add_blocks(
-                band, j_idx, j_idx, jnp.einsum("nri,nrj->nij", Jj, Jj), hw)
-            grad = grad.at[i_idx].add(jnp.einsum("nri,nr->ni", Ji, res))
-            grad = grad.at[j_idx].add(jnp.einsum("nri,nr->ni", Jj, res))
-
-            diag = band[:, hw]
-            damped = diag + lam * (
-                jnp.eye(STATE15, dtype=F64) * jnp.maximum(
-                    jnp.diagonal(diag, axis1=-2, axis2=-1),
-                    1.0)[..., None, :] * jnp.eye(STATE15, dtype=F64))
-            band2 = band.at[:, hw].set(damped)
-            if solver == "direct":
-                dx = (banded.cyclic_reduction_solve_mixed(band2, -grad)
-                      if mixed else
-                      banded.cyclic_reduction_solve(band2, -grad))
-            elif solver == "chol_pcg":
-                dx = banded.pcg_chol_solve(band2, -grad)
-            else:
-                dx, _ = banded.pcg_solve(band2, -grad, iters=200)
-            p_new, q_new, v_new, ba_new, bg_new = _retract15(
-                p, q, v, ba, bg, dx.reshape(-1))
-            new_cost = cost_fn(p_new, q_new, v_new, ba_new, bg_new)
-            better = new_cost < cost
-            p = jnp.where(better, p_new, p)
-            q = jnp.where(better, q_new, q)
-            v = jnp.where(better, v_new, v)
-            ba = jnp.where(better, ba_new, ba)
-            bg = jnp.where(better, bg_new, bg)
-            cost = jnp.where(better, new_cost, cost)
-            lam = jnp.clip(jnp.where(better, lam * 0.3, lam * 5.0),
-                           1e-9, 1e6)
-            return (p, q, v, ba, bg, lam, cost), None
-
-        cost0 = cost_fn(p0, q0, vv0, bba0, bbg0)
-        (p, q, v, ba, bg, _, cost), _ = jax.lax.scan(
-            step, (p0, q0, vv0, bba0, bbg0, jnp.asarray(1e-4, F64), cost0),
-            None, length=lm_iters)
-        return p, q, v, ba, bg, cost
-
     p, q = prob.p_odo, prob.q_odo
+    T = prob.p_odo.shape[0]
     # Velocity init: central differences of the odometry (like the
     # reference's speedBias states carried from the sliding window).
     if v0 is None:
@@ -1709,10 +1709,122 @@ def optimize_batch_sms1_imu(cfg: GlioConfig, prob: BatchProblem,
           else jnp.broadcast_to(jnp.asarray(bg0, F64), (T, 3)))
     costs = []
     for th in thresholds:
-        p, q, v, ba, bg, cost = solve_once(p, q, v, ba, bg,
-                                           jnp.asarray(th, F64))
+        p, q, v, ba, bg, cost = _sms1_imu_solve_once(
+            cfg, prob, sms, chain, p, q, v, ba, bg, jnp.asarray(th, F64),
+            lm_iters, solver, mixed)
         costs.append(float(cost))
     return p, q, v, ba, bg, costs
+
+
+@partial(jax.jit, static_argnames=("cfg", "lm_iters", "solver", "mixed"))
+def _sms1_imu_solve_once(cfg: GlioConfig, prob: BatchProblem,
+                         sms: Sms1Data, chain: ImuChainData,
+                         p0, q0, vv0, bba0, bbg0, threshold,
+                         lm_iters: int, solver: str, mixed: bool):
+    """One annealing stage of the 15-dof level-1 solve.
+
+    MODULE-LEVEL jit: the round-3 version jitted a closure inside
+    ``optimize_batch_sms1_imu``, so every call (including a benchmark's
+    timed second call) re-traced the 10-iteration scan and re-loaded the
+    executable from the persistent compile cache — measured 13.1 s per
+    "iteration" on the chip against ~0.2 s of actual per-iteration
+    execution (scripts/profile_sms1.py: assembly 40 ms + 15×15 mixed CR
+    78 ms + residuals ~55 ms + IMU jacfwd 23 ms).
+    """
+    from ..factors import imu as imu_factors
+    hw = cfg.estimator.search_range + 1
+    T = prob.p_odo.shape[0]
+    gravity = imu_factors.ImuParams(
+        cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w,
+        cfg.imu.gravity).gravity_vec()
+
+    def cost_fn(p, q, v, ba, bg):
+        r_att = _rel_residuals(p, q, prob)[..., :3]
+        r_sms = _sms1_residuals(p, q, sms)
+        r_dd = _dd_residuals(p, prob, threshold)
+        r_imu = _imu_chain_residuals(p, q, v, ba, bg, chain, gravity)
+        return 0.5 * (jnp.sum(r_att ** 2) + jnp.sum(r_sms ** 2)
+                      + jnp.sum(r_dd ** 2) + jnp.sum(r_imu ** 2))
+
+    def step(carry, _):
+        p, q, v, ba, bg, lam, cost = carry
+        # Pose rows → 6-dof band, embedded in the 15-block corner.
+        band6, grad6 = _assemble_sms1_pose(p, q, prob, sms, threshold,
+                                           hw, mixed=mixed)
+        band = jnp.zeros((T, 2 * hw + 1, STATE15, STATE15), F64)
+        band = band.at[:, :, :POSE_DOF, :POSE_DOF].set(band6)
+        grad = jnp.zeros((T, STATE15), F64)
+        grad = grad.at[:, :POSE_DOF].set(grad6)
+
+        # IMU edges (i, i+1): full 15×15 coupling via per-edge jacfwd.
+        zero15 = jnp.zeros(STATE15, F64)
+
+        def imu_fn(di, dj, S, pre, valid, pi, qi, vi, bai, bgi,
+                   pj, qj, vj, baj, bgj):
+            pi2, qi2, vi2, bai2, bgi2 = (
+                pi + di[0:3], quat.mul(qi, quat.exp(di[3:6])),
+                vi + di[6:9], bai + di[9:12], bgi + di[12:15])
+            pj2, qj2, vj2, baj2, bgj2 = (
+                pj + dj[0:3], quat.mul(qj, quat.exp(dj[3:6])),
+                vj + dj[6:9], baj + dj[9:12], bgj + dj[12:15])
+            r = imu_factors.whitened_residual_cached(
+                S, pre, pi2, qi2, vi2, bai2, bgi2,
+                pj2, qj2, vj2, baj2, bgj2, gravity=gravity)
+            return jnp.where(valid, r, 0.0)
+
+        res, (Ji, Jj) = jax.vmap(
+            lambda *a: (imu_fn(zero15, zero15, *a),
+                        jax.jacfwd(imu_fn, argnums=(0, 1))(
+                            zero15, zero15, *a)))(
+            chain.sqrt_info, chain.pres, chain.valid,
+            p[:-1], q[:-1], v[:-1], ba[:-1], bg[:-1],
+            p[1:], q[1:], v[1:], ba[1:], bg[1:])
+        i_idx = jnp.arange(T - 1, dtype=jnp.int32)
+        j_idx = i_idx + 1
+        Hij = jnp.einsum("nri,nrj->nij", Ji, Jj)
+        band = banded.scatter_add_blocks(
+            band, i_idx, i_idx, jnp.einsum("nri,nrj->nij", Ji, Ji), hw)
+        band = banded.scatter_add_blocks(band, i_idx, j_idx, Hij, hw)
+        band = banded.scatter_add_blocks(
+            band, j_idx, i_idx, jnp.swapaxes(Hij, -1, -2), hw)
+        band = banded.scatter_add_blocks(
+            band, j_idx, j_idx, jnp.einsum("nri,nrj->nij", Jj, Jj), hw)
+        grad = grad.at[i_idx].add(jnp.einsum("nri,nr->ni", Ji, res))
+        grad = grad.at[j_idx].add(jnp.einsum("nri,nr->ni", Jj, res))
+
+        diag = band[:, hw]
+        damped = diag + lam * (
+            jnp.eye(STATE15, dtype=F64) * jnp.maximum(
+                jnp.diagonal(diag, axis1=-2, axis2=-1),
+                1.0)[..., None, :] * jnp.eye(STATE15, dtype=F64))
+        band2 = band.at[:, hw].set(damped)
+        if solver == "direct":
+            dx = (banded.cyclic_reduction_solve_mixed(band2, -grad)
+                  if mixed else
+                  banded.cyclic_reduction_solve(band2, -grad))
+        elif solver == "chol_pcg":
+            dx = banded.pcg_chol_solve(band2, -grad)
+        else:
+            dx, _ = banded.pcg_solve(band2, -grad, iters=200)
+        p_new, q_new, v_new, ba_new, bg_new = _retract15(
+            p, q, v, ba, bg, dx.reshape(-1))
+        new_cost = cost_fn(p_new, q_new, v_new, ba_new, bg_new)
+        better = new_cost < cost
+        p = jnp.where(better, p_new, p)
+        q = jnp.where(better, q_new, q)
+        v = jnp.where(better, v_new, v)
+        ba = jnp.where(better, ba_new, ba)
+        bg = jnp.where(better, bg_new, bg)
+        cost = jnp.where(better, new_cost, cost)
+        lam = jnp.clip(jnp.where(better, lam * 0.3, lam * 5.0),
+                       1e-9, 1e6)
+        return (p, q, v, ba, bg, lam, cost), None
+
+    cost0 = cost_fn(p0, q0, vv0, bba0, bbg0)
+    (p, q, v, ba, bg, _, cost), _ = jax.lax.scan(
+        step, (p0, q0, vv0, bba0, bbg0, jnp.asarray(1e-4, F64), cost0),
+        None, length=lm_iters)
+    return p, q, v, ba, bg, cost
 
 
 # --- Doppler rows (optional; reference ships them compiled out) --------------

@@ -64,10 +64,12 @@ def run_stage(stage):
                                    cfg.imu.gravity)
     gravity = params.gravity_vec()
     NI = 40
-    acc = jnp.asarray(rng.normal(size=(T - 1, NI, 3)))
-    gyr = jnp.asarray(rng.normal(size=(T - 1, NI, 3)) * 0.1)
-    dts = jnp.full((T - 1, NI), 0.01)
-    val = jnp.ones((T - 1, NI), bool)
+    # build_imu_chain takes the Episode per-interval (T, NI, ...) buffers
+    # and returns T-1 edges (interval 0 skipped).
+    acc = jnp.asarray(rng.normal(size=(T, NI, 3)))
+    gyr = jnp.asarray(rng.normal(size=(T, NI, 3)) * 0.1)
+    dts = jnp.full((T, NI), 0.01)
+    val = jnp.ones((T, NI), bool)
     chain = B.build_imu_chain(cfg, acc, gyr, dts, val)
     v = jnp.zeros((T, 3))
     ba = jnp.zeros((T, 3))
