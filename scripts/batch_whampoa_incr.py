@@ -30,6 +30,12 @@ EVERY = int(_os.environ.get("EVERY", 50))
 BACKEND = _os.environ.get("BACKEND", "cpu")
 LM_ITERS = int(_os.environ.get("LM_ITERS", 4))
 RELAX = int(_os.environ.get("RELAX", 0))
+# MODE=ref → the reference's ACTUAL cadence (fresh one-shot over the SW
+# trajectory prefix every N keyframes, no feedback — Estimator.cpp:2751);
+# MODE=feedback → optimize_batch_incremental (re-derive constraints from
+# the corrected trajectory; stricter than the reference, measured worse
+# at every=10).
+MODE = _os.environ.get("MODE", "feedback")
 
 if BACKEND == "cpu":
     # Pin BEFORE first backend use (CLAUDE.md gotcha).
@@ -75,18 +81,30 @@ prob = B.build_problem(cfg, p_odo, q_odo, sw.time, g, ANCHOR, 0.0, STATION)
 # chain tens of metres vertically (measured: 35.8 m RMSE un-gated).
 rob = B.RobustOpts(dd_huber=1.0, epoch_gate=2.0, rel_huber=5.0)
 
-print(f"backend={jax.devices()[0].platform} every={EVERY} "
+print(f"backend={jax.devices()[0].platform} mode={MODE} every={EVERY} "
       f"lm_iters={LM_ITERS} relax={RELAX} T={p_odo.shape[0]}", flush=True)
 t0 = time.time()
-p, q = B.optimize_batch_incremental(
-    cfg, prob, sw.time, every=EVERY, lm_iters=LM_ITERS,
-    relaxation_passes=RELAX, robust=rob, rederive=True,
-    verbose=EVERY >= 50)
-wall = time.time() - t0
+if MODE == "ref":
+    p, q, stats = B.optimize_batch_reference_cadence(
+        cfg, prob, every=EVERY, lm_iters=LM_ITERS, robust=rob,
+        verbose=True)
+    wall = time.time() - t0
+    print(f"reference-cadence replay: {stats['n_resolves']} re-solves, "
+          f"mean {stats['resolve_mean_s']:.2f} s / p50 "
+          f"{stats['resolve_p50_s']:.2f} / max {stats['resolve_max_s']:.2f}"
+          f"; final full solve {stats['final_s']:.2f} s; solve total "
+          f"{stats['total_s']:.1f} s (wall incl. compile {wall:.1f})",
+          flush=True)
+else:
+    p, q = B.optimize_batch_incremental(
+        cfg, prob, sw.time, every=EVERY, lm_iters=LM_ITERS,
+        relaxation_passes=RELAX, robust=rob, rederive=True,
+        verbose=EVERY >= 50)
+    wall = time.time() - t0
+    n_resolves = len(range(max(EVERY, 20), p_odo.shape[0], EVERY)) + 1
+    print(f"incremental replay ({n_resolves} re-solves) wall {wall:.1f} s",
+          flush=True)
 p = np.asarray(p)
-n_resolves = len(range(max(EVERY, 20), p_odo.shape[0], EVERY)) + 1
-print(f"incremental replay ({n_resolves} re-solves) wall {wall:.1f} s",
-      flush=True)
 ia, ib = associate(sw.time, bt.time)
 r1, e1 = ate_rmse(p[ia], bt.enu[ib])
 off = np.median(p[ia] - bt.enu[ib], axis=0)
