@@ -110,6 +110,20 @@ def test_incremental_relaxation_removes_drift(problem):
     assert e1.mean() < 0.5 * e0.mean()
 
 
+def test_reference_cadence_matches_one_shot(problem):
+    """The reference-faithful cadence (fresh one-shot per prefix, no
+    feedback — Estimator.cpp:2751) must end at exactly the one-shot
+    solution: the final re-solve IS the full problem."""
+    cfg, prob, p_true, p_odo = problem
+    p_ref, q_ref, stats = B.optimize_batch_reference_cadence(
+        cfg, prob, every=40, lm_iters=3, final_lm_iters=5)
+    p_once, q_once, _ = B.optimize_batch(cfg, prob, lm_iters=5)
+    np.testing.assert_allclose(np.asarray(p_ref), np.asarray(p_once),
+                               atol=1e-9)
+    assert stats["n_resolves"] == len(range(30, p_odo.shape[0], 40))
+    assert stats["resolve_mean_s"] > 0
+
+
 def test_batch_direct_vs_pcg_agree(problem):
     cfg, prob, p_true, _ = problem
     p1, _, _ = B.optimize_batch(cfg, prob, thresholds=(1e9,), lm_iters=3,
