@@ -771,6 +771,94 @@ def optimize_batch(cfg: GlioConfig, prob: BatchProblem,
     return p, q, costs
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=8)
+def _sharded_stage(cfg: GlioConfig, mesh, lm_iters: int,
+                   robust: RobustOpts, sp_axis: str):
+    """Build (once per config/mesh) the jitted sharded LM stage.
+
+    lru_cache guards against the closure-jit retrace trap (see
+    _sms1_imu_solve_once's docstring: a fresh jit per call measured 13 s
+    of retracing against 0.2 s of execution).
+    """
+    from ..parallel import spike_cr
+    hw = cfg.estimator.search_range + 1
+    use_doppler = cfg.estimator.doppler_in_batch
+    solve_sp = spike_cr.make_sharded_cr_solve(mesh, hw=hw, sp_axis=sp_axis)
+
+    @jax.jit
+    def stage(prob: BatchProblem, p0, q0, threshold):
+        def step(carry, _):
+            p, q, lam = carry
+            band, grad, cost_cur, w_rel, w_dd = _assemble_robust(
+                p, q, prob, threshold, hw, use_doppler, robust,
+                mixed=False)
+            D = POSE_DOF
+            diag = band[:, hw]
+            damped = diag + lam * (
+                jnp.eye(D, dtype=F64) * jnp.maximum(
+                    jnp.diagonal(diag, axis1=-2, axis2=-1),
+                    1.0)[..., None, :] * jnp.eye(D, dtype=F64))
+            band2 = band.at[:, hw].set(damped)
+            dx = solve_sp(band2, -grad)
+            p_new, q_new = _retract(p, q, dx.reshape(-1))
+            new_cost = _total_cost(p_new, q_new, prob, threshold,
+                                   use_doppler, w_rel, w_dd)
+            better = new_cost < cost_cur
+            p = jnp.where(better, p_new, p)
+            q = jnp.where(better, q_new, q)
+            lam = jnp.clip(jnp.where(better, lam * 0.3, lam * 5.0),
+                           1e-9, 1e6)
+            return (p, q, lam), new_cost
+
+        (p, q, _), _ = jax.lax.scan(
+            step, (p0, q0, jnp.asarray(1e-4, F64)), None, length=lm_iters)
+        return p, q, _total_cost(p, q, prob, threshold, use_doppler)
+
+    return stage
+
+
+def optimize_batch_sharded(cfg: GlioConfig, prob: BatchProblem, mesh,
+                           thresholds=(1e9, 10.0, 8.0, 6.0),
+                           lm_iters: int = 10,
+                           robust: RobustOpts = NO_ROBUST,
+                           sp_axis: str = "sp"):
+    """Full annealed batch solve sharded over a device mesh — the
+    production multi-chip path (SURVEY.md §5's ICI mapping), not just the
+    driver dryrun: assembly is GSPMD-sharded along the time axis (every
+    per-keyframe/per-epoch vmap partitions; XLA inserts the halo
+    collectives the band structure needs) and each LM step's normal
+    equations are solved EXACTLY by the SPIKE-partitioned cyclic
+    reduction over ICI (``parallel.spike_cr``) — a direct solve, so the
+    multi-chip trajectory matches the single-chip one to round-off
+    (asserted in tests/test_parallel.py).
+
+    Runs in f64 (exact; the mixed f32+refine path is single-chip-tuned —
+    extend when a real multi-chip allocation exists to profile on).
+    Returns (p, q, costs).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec
+    T = prob.p_odo.shape[0]
+    sh_time = NamedSharding(mesh, PartitionSpec(sp_axis))
+
+    def shard_leaf(a):
+        if hasattr(a, "shape") and getattr(a, "ndim", 0) >= 1 \
+                and a.shape[0] == T:
+            return jax.device_put(a, sh_time)
+        return a
+
+    prob_sh = jax.tree.map(shard_leaf, prob)
+    stage = _sharded_stage(cfg, mesh, lm_iters, robust, sp_axis)
+    p, q = prob_sh.p_odo, prob_sh.q_odo
+    costs = []
+    for th in thresholds:
+        p, q, cost = stage(prob_sh, p, q, jnp.asarray(th, F64))
+        costs.append(float(cost))
+    return p, q, costs
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def batch_marginal_covariance(cfg: GlioConfig, prob: BatchProblem, p, q,
                               threshold=6.0, jitter: float = 1e-9):
