@@ -214,13 +214,17 @@ def _associate(cfg: GlioConfig, window: WindowState, window_scans,
     S = cfg.shapes.scan_points
     Fsel = min(cfg.feature_selection.feature_res_num, S)
 
-    # World-frame query points for all window frames at once.
-    q_lb = jnp.asarray(est.ql2b, F64)
-    t_lb = jnp.asarray(est.tl2b, F64)
+    # World-frame query points for all window frames at once. Entirely in
+    # f32: only the f32 cast was ever consumed (association + plane fits
+    # are f32), and the K·S emulated-f64 quaternion rotate was ~1.5 ms of
+    # the step's fixed cost (measured, profile_stages.py). f32 keeps
+    # ~0.1 mm at local-map scale — same budget as the map transform.
+    q_lb = jnp.asarray(est.ql2b, F32)
+    t_lb = jnp.asarray(est.tl2b, F32)
     body = lidar_factors.body_from_lidar(
-        window_scans.astype(F64), q_lb, t_lb)             # (K, S, 3)
-    world = quat.rotate(window.q[:, None, :], body) + window.p[:, None, :]
-    world32 = world.astype(F32).reshape(K * S, 3)
+        window_scans.astype(F32), q_lb, t_lb)             # (K, S, 3)
+    world32 = (quat.rotate(window.q[:, None, :].astype(F32), body)
+               + window.p[:, None, :].astype(F32)).reshape(K * S, 3)
     valid_flat = window_scan_valid.reshape(K * S)
 
     d2, idx = neighbors.knn(world32, valid_flat, map_points, map_valid,

@@ -46,36 +46,15 @@ def identity_prior(n_keep: int, dtype=jnp.float64) -> MarginalPrior:
     )
 
 
-def _clipped_sqrt_and_isqrt(A, eps, mixed: bool = False):
+def _clipped_sqrt_and_isqrt(A, eps):
     """Eigen-clipped (A^{1/2}, A^{-1}) pair for a symmetric matrix.
 
     Matches the reference's SelfAdjointEigenSolver-based pseudo-inverse and
     square-root-information recovery (``MarginalizationFactor.cpp:176-231``):
-    eigenvalues below eps are treated as exactly zero. With ``mixed`` the
-    eigendecomposition runs in f32 (TPU f64 eigh is ~2x emulated cost);
-    the ~1e-4-relative perturbation of the clipped pseudo-inverse is far
-    below the linearization error the marginal prior already carries.
+    eigenvalues below eps are treated as exactly zero. Used by the exact
+    (``mixed_chol=False``) path; the production path eliminates the drop
+    block with an equivalent Tikhonov solve instead (see ``marginalize``).
     """
-    if mixed:
-        # Diagonal equilibration before the f32 eigh: the window's
-        # information spans ~1e6 dynamic range (IMU sqrt-info vs pose
-        # rows), which plain f32 cannot hold. Ã = D⁻¹AD⁻¹ has unit
-        # diagonal; reconstruct in f64.
-        d = jnp.sqrt(jnp.maximum(jnp.diag(A), 1e-12))
-        At = A / d[:, None] / d[None, :]
-        w32, V32 = jnp.linalg.eigh(At.astype(jnp.float32))
-        w, V = w32.astype(A.dtype), V32.astype(A.dtype)
-        ok = w > eps
-        w_c = jnp.where(ok, w, 1.0)
-        inv_t = (V * jnp.where(ok, 1.0 / w_c, 0.0)) @ V.T
-        sqrt_t = (V * jnp.where(ok, jnp.sqrt(w_c), 0.0)) @ V.T
-        inv_t = inv_t / d[:, None] / d[None, :]
-        # One Newton–Schulz sweep in f64 (X ← X(2I − AX)) squares the
-        # f32 eigh's relative error; range space is preserved, so the
-        # clipped pseudo-inverse semantics survive.
-        inv = inv_t @ (2.0 * jnp.eye(A.shape[0], dtype=A.dtype) - A @ inv_t)
-        sqrt = sqrt_t * d[None, :]   # sqrtᵀ sqrt = D Ã D = A (up to clip)
-        return sqrt, inv
     w, V = jnp.linalg.eigh(A)
     ok = w > eps
     w_c = jnp.where(ok, w, 1.0)
@@ -109,10 +88,29 @@ def marginalize(H: jnp.ndarray, b: jnp.ndarray, n_drop: int,
     bm = b[:n_drop]
     br = b[n_drop:]
 
-    _, Hmm_inv = _clipped_sqrt_and_isqrt(0.5 * (Hmm + Hmm.T), eps,
-                                         mixed=mixed_chol)
-    A = Hrr - Hrm @ Hmm_inv @ Hmr
-    g = br - Hrm @ Hmm_inv @ bm
+    if mixed_chol:
+        # Drop-block elimination via an equilibrated Tikhonov solve instead
+        # of the reference's eigen-clipped pseudo-inverse. For PSD H = JᵀJ
+        # a null vector u of Hmm satisfies Jm u = 0, hence Hrm u = Jrᵀ Jm u
+        # = 0 — so the clipped pinv and (Hmm + eps·D²)⁻¹ yield the SAME
+        # Schur complement (null directions transfer nothing either way,
+        # observable directions differ at eps relative). This removes the
+        # drop-block eigh: XLA's iterative eigh costs ~3 ms on TPU even at
+        # 15×15 (measured — the window step's single largest fixed cost);
+        # the refined f32 Cholesky solve is ~10× cheaper.
+        from .linalg import spd_solve_refined
+        d = jnp.sqrt(jnp.maximum(jnp.diag(Hmm), eps))
+        At = (Hmm / d[:, None] / d[None, :]
+              + eps * jnp.eye(n_drop, dtype=H.dtype))
+        # Hmm⁻¹ X = D⁻¹ Ã⁻¹ D⁻¹ X, batched over [Hmr | bm].
+        rhs = jnp.concatenate([Hmr, bm[:, None]], axis=1) / d[:, None]
+        X = spd_solve_refined(At, rhs) / d[:, None]
+        A = Hrr - Hrm @ X[:, :-1]
+        g = br - Hrm @ X[:, -1]
+    else:
+        _, Hmm_inv = _clipped_sqrt_and_isqrt(0.5 * (Hmm + Hmm.T), eps)
+        A = Hrr - Hrm @ Hmm_inv @ Hmr
+        g = br - Hrm @ Hmm_inv @ bm
 
     # Square-root factorization of the Schur complement. The reference
     # eigen-decomposes here too (MarginalizationFactor.cpp:203-231); a
