@@ -172,33 +172,6 @@ def init_carry(cfg: GlioConfig, p0, q0, v0) -> SlidingWindowCarry:
     )
 
 
-def _propagate_imu(state_p, state_q, state_v, ba, bg, inp: KeyframeInput,
-                   gravity, last_acc, last_gyr):
-    """Forward-propagate the newest state through the IMU interval for the
-    initial guess of the incoming keyframe (Estimator.cpp:1581-1604)."""
-
-    def step(carry, x):
-        p, q, v, a0, g0 = carry
-        acc1, gyr1, dt, valid = x
-        un_gyr = 0.5 * (g0 + gyr1) - bg
-        q_new = quat.normalize(quat.mul(q, quat.delta_q(un_gyr * dt)))
-        un_acc = 0.5 * (quat.rotate(q, a0 - ba) + quat.rotate(q_new, acc1 - ba)) - gravity
-        p_new = p + v * dt + 0.5 * un_acc * dt * dt
-        v_new = v + un_acc * dt
-        m = valid.astype(p.dtype)
-        return (m * p_new + (1 - m) * p,
-                jnp.where(valid, q_new, q),
-                m * v_new + (1 - m) * v,
-                jnp.where(valid, acc1, a0),
-                jnp.where(valid, gyr1, g0)), None
-
-    (p, q, v, a_last, g_last), _ = jax.lax.scan(
-        step, (state_p, state_q, state_v, last_acc, last_gyr),
-        (inp.imu_acc.astype(F64), inp.imu_gyr.astype(F64),
-         inp.imu_dt.astype(F64), inp.imu_valid))
-    return p, q, v, a_last, g_last
-
-
 def _associate(cfg: GlioConfig, window: WindowState, window_scans,
                window_scan_valid, map_points, map_valid):
     """Scan-to-map plane correspondences for every window keyframe.
@@ -464,19 +437,9 @@ def make_replay(cfg: GlioConfig):
         # spikes at +/-15..18 m/s^2, Estimator.cpp:4176-4182).
         inp = inp._replace(imu_acc=jnp.clip(inp.imu_acc, -18.0, 18.0))
 
-        # 1. Predict incoming keyframe by IMU propagation from newest.
-        p_pred, q_pred, v_pred, a_last, g_last = _propagate_imu(
-            w.p[newest], w.q[newest], w.v[newest], w.ba[newest], w.bg[newest],
-            inp, gravity, c.last_acc, c.last_gyr)
-
-        # 2. Slide window state/scans/prior; install new frame.
+        # 1. Slide window state/scans/prior (the incoming frame's slot is
+        # filled with the IMU prediction in step 3a below).
         w_slid = _shift_window(w)
-        w_new = WindowState(
-            p=w_slid.p.at[newest].set(p_pred),
-            q=w_slid.q.at[newest].set(q_pred),
-            v=w_slid.v.at[newest].set(v_pred),
-            ba=w_slid.ba, bg=w_slid.bg)
-        w_new = jax.tree.map(lambda a, b: jnp.where(first, a, b), w, w_new)
 
         scans = jnp.where(
             first, c.window_scans.at[newest].set(inp.scan),
@@ -516,8 +479,10 @@ def make_replay(cfg: GlioConfig):
         edge_idx = jnp.arange(K - 1)
         imu_edge_valid = edge_idx >= (K - 1 - n_edges)
 
-        # 3. Preintegrate window edges (vmapped masked scans, zero bias
-        # linearization at the *current* window bias estimates).
+        # 2. Preintegrate window edges (vmapped masked scans, zero bias
+        # linearization at the *current* window bias estimates; biases are
+        # untouched by the step-3 prediction install, so this can run
+        # first and the prediction reuse the new edge's deltas).
         def preint(acc, gyr, dt, valid, seed, ba, bg):
             # f32 Jacobian/covariance propagation: the whitening it feeds
             # tolerates 1e-7 relative error, and the 40-step 15×15 matmul
@@ -526,10 +491,45 @@ def make_replay(cfg: GlioConfig):
                 acc, gyr, dt, valid, ba, bg, seed[:3], seed[3:],
                 params=params, cov_dtype=jnp.float32)
 
+        ba_sel = jnp.where(first, w.ba, w_slid.ba)
+        bg_sel = jnp.where(first, w.bg, w_slid.bg)
         pres = jax.vmap(preint)(
             imu_acc, imu_gyr, imu_dt, imu_valid, imu_seed,
-            w_new.ba[:-1], w_new.bg[:-1])
+            ba_sel[:-1], bg_sel[:-1])
         imu_S = jax.vmap(imu_factors.sqrt_info)(pres)
+
+        # 3. Predict the incoming keyframe by composing the newest state
+        # with the NEW edge's preintegrated delta (the world-frame
+        # midpoint propagation of Estimator.cpp:1581-1604 equals
+        # i-frame preintegration + gravity composition exactly — the
+        # gravity term telescopes to ½g·Δt² for any step partition).
+        # This removes a 40-iteration sequential f64 scan whose
+        # per-iteration loop overhead was ~4.4 ms/keyframe — HALF the
+        # step's fixed cost (measured via the device trace; the op work
+        # inside it was only 0.6 ms).
+        pre_new = jax.tree.map(lambda a: a[K - 2], pres)
+        p_i, q_i, v_i = w.p[newest], w.q[newest], w.v[newest]
+        dt_e = pre_new.sum_dt
+        p_pred = (p_i + v_i * dt_e - 0.5 * gravity * dt_e * dt_e
+                  + quat.rotate(q_i, pre_new.delta_p))
+        q_pred = quat.normalize(quat.mul(q_i, pre_new.delta_q))
+        v_pred = v_i - gravity * dt_e + quat.rotate(q_i, pre_new.delta_v)
+        # Seed for the next interval: the last valid IMU sample of this
+        # one (the sequential propagate's carry, now a masked pick).
+        last_i = inp.imu_valid.shape[0] - 1 - jnp.argmax(inp.imu_valid[::-1])
+        any_imu = jnp.any(inp.imu_valid)
+        a_last = jnp.where(any_imu, inp.imu_acc[last_i].astype(F64),
+                           c.last_acc)
+        g_last = jnp.where(any_imu, inp.imu_gyr[last_i].astype(F64),
+                           c.last_gyr)
+
+        # 3a. Install the new frame.
+        w_new = WindowState(
+            p=w_slid.p.at[newest].set(p_pred),
+            q=w_slid.q.at[newest].set(q_pred),
+            v=w_slid.v.at[newest].set(v_pred),
+            ba=w_slid.ba, bg=w_slid.bg)
+        w_new = jax.tree.map(lambda a, b: jnp.where(first, a, b), w, w_new)
 
         # 4. Build the local map: ring-buffer lidar-frame clouds → world
         # (extrinsic applied exactly as the window queries apply it).

@@ -26,7 +26,7 @@ T = 30
 
 kw = dict(local_map_width=20, sw_max_iter=1)
 shapes = dict(max_imu_per_interval=40, scan_points=1024, map_points=16384)
-if variant == "nomarg":
+if variant in ("nomarg", "skeleton"):
     kw["enable_marginalization"] = False
 elif variant == "map5":
     kw["local_map_width"] = 5
@@ -36,6 +36,36 @@ elif variant == "iter15":
     kw["sw_max_iter"] = 15
 elif variant == "scan256":
     shapes["scan_points"] = 256
+
+if variant in ("nosolve", "skeleton"):
+    # Bypass the LM solve entirely (return the IMU prediction): isolates
+    # everything OUTSIDE dense.lm_solve.
+    import jax.numpy as jnp
+    from glio_tpu.solver import dense as _dense
+
+    def _fake_lm(residual_fn, retract_fn, x0, n, **kwargs):
+        c = jnp.asarray(0.0)
+        return _dense.LMResult(x=x0, cost=c, initial_cost=c, lam=c, iters=c)
+
+    _dense.lm_solve = _fake_lm
+    import glio_tpu.models.sliding_window as _sw
+    _sw.dense.lm_solve = _fake_lm
+
+if variant in ("noassoc", "skeleton"):
+    # Bypass association (kNN + plane fits + top-k): zero lidar factors.
+    import jax.numpy as jnp
+    import glio_tpu.models.sliding_window as _sw
+
+    def _fake_assoc(cfg_, window, window_scans, window_scan_valid,
+                    map_points, map_valid):
+        K = window.p.shape[0]
+        F = min(cfg_.feature_selection.feature_res_num,
+                cfg_.shapes.scan_points)
+        return (jnp.zeros((K, F, 3)), jnp.zeros((K, F, 3)),
+                jnp.zeros((K, F)), jnp.zeros((K, F)),
+                jnp.zeros((K, F), bool))
+
+    _sw._associate = _fake_assoc
 
 cfg = GlioConfig().replace(shapes=ShapeConfig(**shapes),
                            estimator=EstimatorConfig(**kw))
