@@ -36,6 +36,10 @@ RELAX = int(_os.environ.get("RELAX", 0))
 # the corrected trajectory; stricter than the reference, measured worse
 # at every=10).
 MODE = _os.environ.get("MODE", "feedback")
+# WARM=1 (MODE=ref only): warm-start each re-solve from the previous
+# solution + hop-chained tail; constraints and the final one-shot stay
+# identical (optimize_batch_reference_cadence warm_start docstring).
+WARM = _os.environ.get("WARM", "0") == "1"
 
 if BACKEND == "cpu":
     # Pin BEFORE first backend use (CLAUDE.md gotcha).
@@ -87,9 +91,10 @@ t0 = time.time()
 if MODE == "ref":
     p, q, stats = B.optimize_batch_reference_cadence(
         cfg, prob, every=EVERY, lm_iters=LM_ITERS, robust=rob,
-        verbose=True)
+        warm_start=WARM, verbose=True)
     wall = time.time() - t0
-    print(f"reference-cadence replay: {stats['n_resolves']} re-solves, "
+    print(f"reference-cadence replay (warm={WARM}): "
+          f"{stats['n_resolves']} re-solves, "
           f"mean {stats['resolve_mean_s']:.2f} s / p50 "
           f"{stats['resolve_p50_s']:.2f} / max {stats['resolve_max_s']:.2f}"
           f"; final full solve {stats['final_s']:.2f} s; solve total "
