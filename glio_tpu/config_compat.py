@@ -68,9 +68,24 @@ def reference_yaml_to_dict(data: dict) -> dict:
         values = dict(values)
         dst = out.setdefault(sec, {}) if sec else None
         for (gsec, gfield), members in _GROUPS.items():
-            if gsec == ref_sec and dst is not None and \
-                    all(m in values for m in members):
+            if gsec != ref_sec or dst is None:
+                continue
+            present = [m for m in members if m in values]
+            if len(present) == len(members):
                 dst[gfield] = tuple(float(values.pop(m)) for m in members)
+            elif present:
+                # Partial triplet/quaternion group (e.g. a typo in one of
+                # anc_ecef_x/y/z): name the incomplete group explicitly
+                # instead of letting the present members degrade to
+                # generic unknown-key warnings; the whole group falls
+                # back to defaults.
+                missing = [m for m in members if m not in values]
+                warnings.warn(
+                    f"config: incomplete group {ref_sec}.{gfield} — "
+                    f"missing {missing}; ignoring {present} and using "
+                    f"defaults")
+                for m in present:
+                    values.pop(m)
         for k, v in values.items():
             if (ref_sec, k) in _ROS_ONLY:
                 continue

@@ -1219,25 +1219,19 @@ def _original_hops(prob: BatchProblem):
 
 
 def _chain_hops(p_cur, q_cur, hop_dp, hop_dq, lo, hi):
-    """Chain original odometry hops from pose lo-1 through [lo, hi),
-    in place on the numpy arrays.
+    """Chain original odometry hops from pose lo-1 through [lo, hi).
 
-    Pure numpy: at the reference's every-10 cadence this runs ~T/10
-    times; device-side tiny ops here would cost a remote round trip per
-    keyframe on the axon backend.
+    MUTATES ``p_cur``/``q_cur`` IN PLACE (and returns them for call-site
+    convenience) — callers must pass arrays they own; a shared array
+    would be silently aliased. Pure numpy via :func:`quat.mul_np` /
+    :func:`quat.rotate_np`: at the reference's every-10 cadence this
+    runs ~T/10 times; device-side tiny ops here would cost a remote
+    round trip per keyframe on the axon backend.
     """
     for k in range(max(lo, 1), hi):
         qp = q_cur[k - 1]
-        w1, x1, y1, z1 = qp
-        w2, x2, y2, z2 = hop_dq[k - 1]
-        qk = np.array([w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-                       w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-                       w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-                       w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
-        u, w = qp[1:4], qp[0]
-        uv = np.cross(u, hop_dp[k - 1])
-        p_cur[k] = p_cur[k - 1] + hop_dp[k - 1] + 2.0 * (
-            w * uv + np.cross(u, uv))
+        qk = quat.mul_np(qp, hop_dq[k - 1])
+        p_cur[k] = p_cur[k - 1] + quat.rotate_np(qp, hop_dp[k - 1])
         q_cur[k] = qk / np.linalg.norm(qk)
     return p_cur, q_cur
 

@@ -130,6 +130,25 @@ def marginalize(H: jnp.ndarray, b: jnp.ndarray, n_drop: int,
         # Sᵀ r0 = g  ⇔  D S̃ᵀ r0 = g  ⇔  S̃ᵀ r0 = g/d.
         St, r0 = chol_sqrt_refined(At, g / d)
         S = St * d[None, :]
+        # NaN guard (advisor r4): the unguarded f32 Cholesky inside the
+        # Tikhonov path can fail on a correlated near-singular drop block
+        # (equilibration bounds the condition only by 1/eps). Fall back
+        # to the reference's eigen-clipped pseudo-inverse pipeline —
+        # traced into the graph but executed only on failure (lax.cond),
+        # so a degenerate window cannot poison the marginal prior.
+        def _eigen_fallback(_):
+            _, Hmm_inv = _clipped_sqrt_and_isqrt(0.5 * (Hmm + Hmm.T), eps)
+            Ae = Hrr - Hrm @ Hmm_inv @ Hmr
+            ge = br - Hrm @ Hmm_inv @ bm
+            w, V = jnp.linalg.eigh(0.5 * (Ae + Ae.T))
+            ok = w > eps
+            s = jnp.sqrt(jnp.where(ok, w, 1.0))
+            Se = (V * jnp.where(ok, s, 0.0)).T           # Se = diag(s)Vᵀ
+            re = jnp.where(ok, 1.0 / s, 0.0) * (V.T @ ge)
+            return Se, re
+        bad = ~(jnp.all(jnp.isfinite(S)) & jnp.all(jnp.isfinite(r0)))
+        S, r0 = jax.lax.cond(bad, _eigen_fallback,
+                             lambda _: (S, r0), None)
     else:
         L = jnp.linalg.cholesky(A)
         S = L.T                               # SᵀS = A

@@ -209,6 +209,28 @@ def slerp_np(q0, q1, t):
     return out / _np.linalg.norm(out)
 
 
+def mul_np(q1, q2):
+    """Numpy twin of ``mul`` for host-side scalar work (single pair;
+    avoids a device dispatch per pose in host-chained loops)."""
+    import numpy as _np
+    w1, x1, y1, z1 = q1
+    w2, x2, y2, z2 = q2
+    return _np.array([
+        w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+        w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+        w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+        w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
+    ])
+
+
+def rotate_np(q, v):
+    """Numpy twin of ``rotate`` (same expanded 15-mul form)."""
+    import numpy as _np
+    u, w = _np.asarray(q[1:4]), q[0]
+    uv = _np.cross(u, v)
+    return _np.asarray(v) + 2.0 * (w * uv + _np.cross(u, uv))
+
+
 def from_ypr(ypr):
     """ZYX Euler (yaw, pitch, roll, radians) → quaternion.
 

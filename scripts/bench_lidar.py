@@ -1,0 +1,188 @@
+"""LiDAR front-end benchmark: preprocessing + scan-to-map odometry.
+
+The reference publishes an explicit real-time budget for this stage:
+the scan-to-local-map Ceres solve is capped at <=12 iterations AND
+<=0.015 s (`GLIO/src/LidarOdometry.cpp:523-524`,
+`GLIO/config/config_urban_hk.yaml:19`), inside a 10 Hz scan cadence
+(100 ms per scan for the whole node). The preprocessing node's hot loop
+is the O(N~60k) curvature/feature pass (`Preprocessing.cpp:529-655`).
+
+This script measures BOTH stages at production shapes on the current
+backend, in an isolated process per leg (CLAUDE.md: never time stages
+inside one long run on the remote backend):
+
+* preprocessing: HDL-32E range image, 32 rings x 1800 columns
+  (`Preprocessing.cpp:441-487` ring geometry; N = 57,600 points) ->
+  curvature, sextant picks, 0.4 m voxel surf cloud.
+* odometry: full per-frame step (local-map world transform + 5-NN
+  association + plane fits + <=12-iteration point-to-plane LM + map
+  update) at the production config: 2048 surf points/scan, 20-frame
+  local map (`LidarOdometry.cpp:268` localMapWindowSize).
+
+Both stages replay a sequence inside one jit (lax.scan) and report
+ms/scan - the same methodology as the sliding-window headline bench
+(dispatch amortized; the pipeline streams scans in production).
+
+Usage:
+  python scripts/bench_lidar.py            # parent: TPU legs + CPU twins
+  GLIO_LIDAR_CHILD=<leg> python ...        # child: one leg, one line
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_SCANS_PRE = 20       # preprocessing scans per timed call
+T_ODOM = 20            # odometry frames per timed call
+T_ODOM_CPU = 8
+
+
+def _gen_range_images(n, rings=32, cols=1800, seed=0):
+    """Raycast HDL-32E-shaped scans along a short trajectory."""
+    from glio_tpu.data.simulator import PlaneWorld, raycast_scan
+    rng = np.random.default_rng(seed)
+    world = PlaneWorld(extent=120.0, n_walls=120, seed=seed)
+    imgs = np.zeros((n, rings, cols, 3), np.float32)
+    vals = np.zeros((n, rings, cols), bool)
+    for i in range(n):
+        p = np.array([2.0 * i, 0.5 * np.sin(0.3 * i), 0.0])
+        th = 0.05 * i
+        R = np.array([[np.cos(th), -np.sin(th), 0],
+                      [np.sin(th), np.cos(th), 0], [0, 0, 1.0]])
+        imgs[i], vals[i] = raycast_scan(
+            world, p, R, n_rings=rings, n_cols=cols,
+            elev_lo=-0.535, elev_hi=0.186,   # HDL-32E -30.67..+10.67 deg
+            max_range=80.0, rng=rng)
+    return imgs, vals
+
+
+def bench_preprocess():
+    """ms per scan for the full jitted preprocessing pipeline at the
+    HDL-32E production shape (32 x 1800)."""
+    import jax
+    import jax.numpy as jnp
+    from glio_tpu.config import GlioConfig
+    from glio_tpu.models.preprocessing import make_preprocessor
+
+    cfg = GlioConfig()
+    process = make_preprocessor(cfg, surf_out=2048, edge_out=512,
+                                flat_out=512)
+    imgs, vals = _gen_range_images(N_SCANS_PRE)
+    imgs_j = jnp.asarray(imgs)
+    vals_j = jnp.asarray(vals)
+
+    @jax.jit
+    def run_all(imgs, vals):
+        def body(_, inp):
+            pts, v = inp
+            out = process(pts, v)
+            # Reduce outputs so nothing is dead-code-eliminated.
+            return 0, (jnp.sum(out.surf), jnp.sum(out.surf_valid),
+                       jnp.sum(out.edge_valid), jnp.sum(out.flat_valid))
+        _, sums = jax.lax.scan(body, 0, (imgs, vals))
+        return sums
+
+    out = run_all(imgs_j, vals_j)
+    np.asarray(out[0])          # device->host transfer: a true sync point
+    t0 = time.perf_counter()
+    out = run_all(imgs_j, vals_j)
+    np.asarray(out[0])
+    ms = 1e3 * (time.perf_counter() - t0) / N_SCANS_PRE
+    n_surf = int(np.asarray(out[1])[0])
+    return ms, n_surf
+
+
+def bench_odometry(T):
+    """ms per frame for the full odometry step (association + plane fits
+    + <=12-iter LM + keyframe/map update) at production shapes."""
+    import jax
+    import jax.numpy as jnp
+    from glio_tpu.config import GlioConfig, ShapeConfig
+    from glio_tpu.data.simulator import simulate_episode
+    from glio_tpu.models.lidar_odometry import make_odometry
+
+    cfg = GlioConfig().replace(shapes=ShapeConfig(scan_points=2048))
+    # Defaults already match the reference: local_map_frames=20,
+    # max_num_iter=12 (config_urban_hk.yaml:18-19).
+    run = make_odometry(cfg)
+    ep = simulate_episode(n_keyframes=T, scan_points=2048, seed=3,
+                          scan_noise=0.01, q_lb=(1, 0, 0, 0),
+                          t_lb=(0, 0, 0))
+    scans = jnp.asarray(ep.scan)
+    valid = jnp.asarray(ep.scan_valid)
+    out = run(scans, valid, ep.gt_p[0], ep.gt_q[0])
+    np.asarray(out.p)           # device->host transfer: a true sync point
+    t0 = time.perf_counter()
+    out = run(scans, valid, ep.gt_p[0], ep.gt_q[0])
+    np.asarray(out.p)
+    ms = 1e3 * (time.perf_counter() - t0) / T
+    err = np.linalg.norm(np.asarray(out.p) - ep.gt_p, axis=-1)
+    return ms, float(err.max()), int(np.asarray(out.n_matches)[-1])
+
+
+def _child(leg):
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # The axon plugin can win over the env var; force it (CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", 10.0)
+    except Exception:
+        pass
+    if leg == "preprocess":
+        ms, n_surf = bench_preprocess()
+        print(json.dumps({"leg": leg, "ms_per_scan": round(ms, 3),
+                          "n_surf": n_surf,
+                          "backend": jax.default_backend()}))
+    else:
+        T = T_ODOM_CPU if jax.default_backend() == "cpu" else T_ODOM
+        ms, err_max, n_matches = bench_odometry(T)
+        print(json.dumps({"leg": leg, "ms_per_scan": round(ms, 3),
+                          "track_err_max_m": round(err_max, 3),
+                          "n_matches": n_matches,
+                          "backend": jax.default_backend()}))
+
+
+def _spawn(leg, cpu, timeout=2400):
+    env = dict(os.environ, GLIO_LIDAR_CHILD=leg)
+    if cpu:
+        env["JAX_PLATFORMS"] = "cpu"
+        env.pop("XLA_FLAGS", None)
+        env.pop("PYTHONPATH", None)
+    res = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                         env=env, capture_output=True, text=True,
+                         timeout=timeout)
+    for line in res.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"{leg} cpu={cpu}: "
+                       f"{(res.stderr or res.stdout)[-400:]}")
+
+
+def main():
+    out = {}
+    for leg in ("preprocess", "odometry"):
+        r = _spawn(leg, cpu=False)
+        out[f"{leg}_tpu"] = r
+        cpu_runs = []
+        for _ in range(3):
+            cpu_runs.append(_spawn(leg, cpu=True)["ms_per_scan"])
+        out[f"{leg}_cpu_ms"] = sorted(cpu_runs)[1]
+        out[f"{leg}_cpu_spread_ms"] = round(max(cpu_runs) - min(cpu_runs), 3)
+    print(json.dumps(out, indent=1))
+
+
+if __name__ == "__main__":
+    leg = os.environ.get("GLIO_LIDAR_CHILD")
+    if leg:
+        _child(leg)
+    else:
+        main()

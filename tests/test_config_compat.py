@@ -44,6 +44,21 @@ def test_unknown_key_warns_and_defaults():
     assert cfg.estimator.local_map_width == 50
 
 
+def test_partial_triplet_group_warns_by_name():
+    """A typo in one member of a scalar-triplet group must produce a
+    specific incomplete-group warning (advisor r4) — not generic
+    unknown-key warnings for the surviving members."""
+    data = {"initialization": {"anc_ecef_x": 1.0, "anc_ecef_y": 2.0,
+                               "anc_ecef_zz": 3.0}}
+    with pytest.warns(UserWarning) as rec:
+        load_config(reference_yaml_to_dict(data))
+    msgs = [str(r.message) for r in rec]
+    assert any("incomplete group initialization.anc_ecef" in m
+               and "anc_ecef_z" in m for m in msgs)
+    # The present members must NOT degrade to unknown-key warnings.
+    assert not any("anc_ecef_x" in m and "incomplete" not in m for m in msgs)
+
+
 def test_ros_only_keys_skip_silently():
     data = {"common": {"frame_id": "GLIO"},
             "visualization": {"GTinLocal": True},

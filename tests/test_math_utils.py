@@ -26,6 +26,20 @@ class TestQuat:
         e = jnp.array([1.0, 0, 0, 0])
         np.testing.assert_allclose(quat.mul(q, jnp.broadcast_to(e, q.shape)), q, atol=1e-12)
 
+    def test_numpy_twins_match_jax(self):
+        """mul_np / rotate_np (host-side scalar helpers used by the
+        warm-start hop chaining) must match the jax formulas exactly."""
+        q1, q2 = np.asarray(rand_quat()), np.asarray(rand_quat())
+        v = np.asarray(rand_vec())
+        np.testing.assert_allclose(quat.mul_np(q1, q2),
+                                   np.asarray(quat.mul(jnp.asarray(q1),
+                                                       jnp.asarray(q2))),
+                                   atol=1e-15)
+        np.testing.assert_allclose(quat.rotate_np(q1, v),
+                                   np.asarray(quat.rotate(jnp.asarray(q1),
+                                                          jnp.asarray(v))),
+                                   atol=1e-15)
+
     def test_mul_conj_is_identity(self):
         q = rand_quat((5,))
         qq = quat.mul(q, quat.conj(q))

@@ -123,6 +123,38 @@ class TestMarginalization:
         x_keep = np.linalg.lstsq(S, -r0, rcond=None)[0]
         np.testing.assert_allclose(x_keep, x_full[nd:], atol=1e-7)
 
+    def test_indefinite_drop_block_falls_back_finite(self):
+        """A (pathological) indefinite drop block NaNs the mixed f32
+        Cholesky path; the lax.cond guard must fall back to the
+        eigen-clipped pipeline instead of poisoning the prior."""
+        n = 5
+        H = np.eye(n)
+        H[:2, :2] = [[1.0, 2.0], [2.0, 1.0]]   # eigenvalues 3, -1
+        b = np.ones(n)
+        prior = marginalization.marginalize(jnp.asarray(H), jnp.asarray(b), 2)
+        S = np.asarray(prior.sqrt_jac)
+        r0 = np.asarray(prior.sqrt_res)
+        assert np.all(np.isfinite(S)) and np.all(np.isfinite(r0))
+
+    def test_near_singular_correlated_drop_matches_eigen(self):
+        """Correlated near-singular drop block: the guarded mixed path
+        must agree with the eigen-clipped reference path."""
+        rng = np.random.default_rng(3)
+        v = rng.normal(size=(6, 1))
+        Hmm = v @ v.T + 1e-12 * np.eye(6)      # rank ~1, corr ~1
+        Jr = rng.normal(size=(12, 4))
+        Hrr = Jr.T @ Jr
+        C = 1e-3 * rng.normal(size=(6, 4))
+        H = np.block([[Hmm, C], [C.T, Hrr]])
+        b = rng.normal(size=10)
+        pm = marginalization.marginalize(jnp.asarray(H), jnp.asarray(b), 6)
+        pe = marginalization.marginalize(jnp.asarray(H), jnp.asarray(b), 6,
+                                         mixed_chol=False)
+        Hm = np.asarray(pm.sqrt_jac).T @ np.asarray(pm.sqrt_jac)
+        He = np.asarray(pe.sqrt_jac).T @ np.asarray(pe.sqrt_jac)
+        assert np.all(np.isfinite(Hm))
+        np.testing.assert_allclose(Hm, He, atol=1e-6 * np.abs(He).max())
+
     def test_prior_residual_masked_until_valid(self):
         prior = marginalization.identity_prior(6)
         r = marginalization.prior_residual(prior, jnp.ones(6))
