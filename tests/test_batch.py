@@ -9,6 +9,8 @@ from glio_tpu.data.simulator import simulate_gnss_epochs
 from glio_tpu.models import batch as B
 from glio_tpu.utils import quat
 
+pytestmark = [pytest.mark.slow, pytest.mark.real_data]  # heavy tier (see pyproject)
+
 ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
 STATION = np.array([-2414266.92, 5386768.987, 2407460.031])
 

@@ -19,6 +19,8 @@ from glio_tpu.config import GlioConfig
 from glio_tpu.data.simulator import simulate_gnss_epochs
 from glio_tpu.models import batch as B
 
+pytestmark = [pytest.mark.slow]  # heavy tier (see pyproject)
+
 ANCHOR = np.array([-2419233.42, 5385473.13, 2405341.30])
 STATION = np.array([-2414266.92, 5386768.987, 2407460.031])
 ROBUST = B.RobustOpts(dd_huber=1.0, epoch_gate=2.0, rel_huber=5.0)

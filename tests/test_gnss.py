@@ -23,7 +23,9 @@ NAV = f"{DATA}/hksc141g.nav"
 STATION = np.array([-2414266.9200, 5386768.9870, 2407460.0310])
 have_data = os.path.exists(OBS)
 
-pytestmark = pytest.mark.skipif(not have_data, reason="reference dataset absent")
+pytestmark = [pytest.mark.slow, pytest.mark.real_data,
+              pytest.mark.skipif(not have_data,
+                                 reason="reference dataset absent")]
 
 
 @pytest.fixture(scope="module")

@@ -13,6 +13,8 @@ import pytest
 
 from glio_tpu.gnss import lambda_ar
 
+pytestmark = [pytest.mark.slow]  # heavy tier (see pyproject)
+
 LAM = 0.19029367
 
 

@@ -2,9 +2,12 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from glio_tpu.models import lc_fusion
 from glio_tpu.utils import quat
+
+pytestmark = [pytest.mark.slow, pytest.mark.real_data]  # heavy tier (see pyproject)
 
 
 def _drifting_odometry(T=200, seed=0):

@@ -9,6 +9,8 @@ from jax.sharding import Mesh
 from glio_tpu.parallel import banded_pcg
 from glio_tpu.solver import banded
 
+pytestmark = [pytest.mark.slow]  # heavy tier (see pyproject)
+
 
 def _random_banded(T, D, hw, nb=1, seed=0):
     rng = np.random.default_rng(seed)

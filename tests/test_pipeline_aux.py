@@ -11,6 +11,8 @@ from glio_tpu.data.simulator import simulate_episode
 from glio_tpu.eval import pointcloud, trajectory
 from glio_tpu.utils import checkpoint, profiling
 
+pytestmark = [pytest.mark.slow]  # heavy tier (see pyproject)
+
 
 CFG = GlioConfig().replace(
     shapes=ShapeConfig(max_imu_per_interval=40, scan_points=256,

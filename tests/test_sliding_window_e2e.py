@@ -13,6 +13,8 @@ from glio_tpu.config import GlioConfig, ShapeConfig, EstimatorConfig
 from glio_tpu.data.simulator import simulate_episode
 from glio_tpu.models.sliding_window import make_replay
 
+pytestmark = [pytest.mark.slow]  # heavy tier (see pyproject)
+
 CFG = GlioConfig().replace(
     shapes=ShapeConfig(max_imu_per_interval=40, scan_points=512,
                        map_points=4096),
