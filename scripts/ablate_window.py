@@ -24,7 +24,8 @@ from glio_tpu.models.sliding_window import make_replay
 variant = sys.argv[1] if len(sys.argv) > 1 else "base"
 T = 30
 
-kw = dict(local_map_width=20, sw_max_iter=1)
+kw = dict(local_map_width=int(os.environ.get("GLIO_ABLATE_WIDTH", "20")),
+          sw_max_iter=1)
 shapes = dict(max_imu_per_interval=40, scan_points=1024, map_points=16384)
 if variant in ("nomarg", "skeleton"):
     kw["enable_marginalization"] = False

@@ -44,7 +44,7 @@ def _try_compile(q):
     pts = jnp.zeros((128, 3), jnp.float32).at[:, 0].set(
         jnp.arange(128, dtype=jnp.float32))
     pv = jnp.ones((128,), bool)
-    d, i = knn_pallas(query, qv, pts, pv, k=5, tile=128)
+    d, i = knn_pallas(query, qv, pts, pv, k=5, query_tile=8, map_tile=128)
     d.block_until_ready()
     q.put("ok")
 
