@@ -54,6 +54,9 @@ class GnssEpochs:
     sat_id: Optional[np.ndarray] = None     # (E, MAX_SV) int32 sys*100+prn
                                             # (slot→satellite identity for
                                             # cross-epoch arc tracking)
+    station_synthesized: Optional[np.ndarray] = None  # () bool: DD built
+                                            # against a synthesized base
+                                            # (atmosphere floor applies)
 
 
 @dataclasses.dataclass

@@ -161,6 +161,7 @@ def simulate_episode(
     circle_omega=None,
     dense_frames=0,
     dense_noise=0.01,
+    return_dense_gt=False,
 ) -> Episode:
     """Build a fully-consistent synthetic episode (see module docstring).
 
@@ -316,7 +317,7 @@ def simulate_episode(
         dense_kw = dict(dense_rel_dp=rel_dp, dense_rel_dq=rel_dq,
                         dense_rel_valid=rel_valid, dense_time=dense_t)
 
-    return Episode(
+    ep = Episode(
         kf_time=t_kf,
         imu_acc=imu_acc, imu_gyr=imu_gyr, imu_dt=imu_dts, imu_valid=imu_val,
         scan=scan, scan_valid=scan_valid,
@@ -325,6 +326,12 @@ def simulate_episode(
         acc0=acc_out[0], gyr0=gyr_out[0],
         gt_p=ps[kf_idx], gt_q=qs[kf_idx], gt_v=vs[kf_idx],
     )
+    if return_dense_gt:
+        # Full ground-truth state at IMU rate (for raycasting arbitrary-
+        # rate frontend frames, e.g. scripts/full_pipeline_tpu.py).
+        return ep, {"t": t_imu, "p": ps, "q": qs, "kf_idx": kf_idx,
+                    "world": world}
+    return ep
 
 
 def simulate_gnss_epochs(gt_p_enu, kf_time, anchor_ecef, station_ecef,

@@ -213,6 +213,12 @@ def convert(rover_obs_path: str, nav_path: str,
         car_valid=np.zeros((E, M), bool),
         lli=np.zeros((E, M), np.int8),
         sat_id=np.full((E, M), -1, np.int32),
+        # Carried so downstream covariance calibration can add the
+        # synthesized-station vertical atmosphere floor (the DD evidence
+        # keeps the rover's true-minus-model atmosphere when no real
+        # base RINEX exists — batch.calibrate_batch_covariance step 4).
+        station_synthesized=np.asarray(
+            opts.synthesize_station and not station_obs_path),
     )
     slot_used = np.zeros(E, np.int32)
     lam = CLIGHT / freq

@@ -40,7 +40,13 @@ def trial(q, Q, N, qt, mt):
     q.put(f"ok compile={compile_s:.1f}s run={run_ms:.3f}ms idx_match={same:.4f}")
 
 
+# Round-5 measured envelope: tiles (8,128) compile and run (probe),
+# every rung with tiles >= (256,1024) HANGS in Mosaic AOT (300 s cap).
+# The small-tile rungs below bisect the boundary for future rounds.
 LADDER = [
+    (64, 256, 64, 256),
+    (128, 512, 128, 512),
+    (256, 1024, 128, 512),
     (256, 1024, 256, 1024),
     (512, 2048, 256, 1024),
     (2048, 4096, 256, 1024),

@@ -72,8 +72,8 @@ def _solve_and_ratios(bias_sigma):
 
 
 @pytest.mark.parametrize("bias_sigma,med_cap,p90_cap", [
-    (0.0, 2.0, 3.5),   # measured: med 1.24-1.37, p90 <= 3.05
-    (3.0, 2.5, 5.0),   # measured: med 1.26-1.71, p90 <= 3.81
+    (0.0, 2.0, 3.5),   # measured r5: med 1.32-1.48, p90 <= 2.79
+    (3.0, 2.5, 5.0),   # measured r5: med 1.63-2.33, p90 <= 2.97
 ])
 def test_calibrated_coverage(bias_sigma, med_cap, p90_cap):
     r_formal, r_cal = _solve_and_ratios(bias_sigma)
@@ -86,6 +86,10 @@ def test_calibrated_coverage(bias_sigma, med_cap, p90_cap):
     p90 = np.percentile(r_cal, 90, axis=0)
     assert med.max() < med_cap, med
     assert p90.max() < p90_cap, p90
-    # Not wildly conservative either: the evidence-discrepancy scale
-    # should not overshoot truth by more than ~10x anywhere typical.
-    assert np.median(r_cal) > 0.1
+    # Tightness (VERDICT r4 #3), not just coverage: per-axis median
+    # coverage ratio must stay within ~4x of 1 — the round-5
+    # consistency-blended attenuation may sharpen but must not inflate
+    # (measured r5: per-axis medians 1.3-2.3 on both sims; the REAL
+    # Whampoa problem measures med [0.21,0.28,0.51] / p90 <= 1.9 per
+    # axis vs the golden batch — README "Calibrated covariance").
+    assert np.median(r_cal, axis=0).min() > 0.25
