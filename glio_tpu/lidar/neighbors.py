@@ -147,10 +147,10 @@ def gather_neighbors(points, idx):
     return jnp.where((idx >= 0)[..., None], out, 0.0)
 
 
-@partial(jax.jit, static_argnames=("max_out",))
+@partial(jax.jit, static_argnames=("max_out", "scatter_keys"))
 def voxel_downsample(points: jnp.ndarray, valid: jnp.ndarray,
                      voxel: float, max_out: int,
-                     origin: float = 2048.0):
+                     origin: float = 2048.0, scatter_keys: bool = False):
     """Deterministic voxel-grid downsample to a fixed-size output.
 
     TPU-shaped replacement for ``pcl::VoxelGrid``: quantize to voxel keys,
@@ -159,11 +159,29 @@ def voxel_downsample(points: jnp.ndarray, valid: jnp.ndarray,
     changes downstream plane fits by ≪ the voxel size and avoids a
     segment-mean scatter). Output is padded/truncated to `max_out` with a
     validity mask — deterministic for fixed input order.
+
+    ``scatter_keys``: order voxels by a BIJECTIVE 64-bit mix of the key
+    instead of raw spatial order, so that when the population exceeds
+    ``max_out`` the truncation drops a spatially-uniform subset rather
+    than a contiguous slab of the world (the raw packed key is x-major —
+    overflow would silently delete the highest-x region). Bijectivity
+    keeps voxel identity: equal keys still form one run.
     """
     dtype = points.dtype
     key = jnp.floor(points / voxel + origin).astype(jnp.int64)
     # 21 bits per axis packed into one int64 key.
     packed = (key[:, 0] << 42) | (key[:, 1] << 21) | key[:, 2]
+    if scatter_keys:
+        # splitmix64-style mixer (each step invertible mod 2^64); the
+        # final >>4 keeps the value below the invalid sentinel, making
+        # the map key→order only 60-bit — a cross-voxel collision needs
+        # full 60-bit equality (~1e-12 at 1e5 voxels, and harmless: two
+        # voxels would merge for one step).
+        m = packed.astype(jnp.uint64)
+        m = m * jnp.uint64(0xBF58476D1CE4E5B9)
+        m = m ^ (m >> jnp.uint64(31))
+        m = m * jnp.uint64(0x94D049BB133111EB)
+        packed = (m >> jnp.uint64(4)).astype(jnp.int64)
     packed = jnp.where(valid, packed, jnp.int64(2**62))  # invalid sorts last
     order = jnp.argsort(packed)
     sorted_key = packed[order]

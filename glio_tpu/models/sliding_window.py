@@ -122,6 +122,9 @@ class SlidingWindowCarry(NamedTuple):
     prior_lin: WindowState            # linearization point of the prior
     map_scans: jnp.ndarray            # (M, S, 3) ring buffer body clouds
     map_scan_valid: jnp.ndarray       # (M, S)
+    map_world: jnp.ndarray            # (M, S, 3) f32 cached world clouds
+                                      # (recomputed only for slots whose
+                                      # pose changed — K of M per step)
     map_p: jnp.ndarray                # (M, 3) poses of ring buffer frames
     map_q: jnp.ndarray                # (M, 4)
     map_slot_valid: jnp.ndarray       # (M,) bool
@@ -162,6 +165,7 @@ def init_carry(cfg: GlioConfig, p0, q0, v0) -> SlidingWindowCarry:
         prior_lin=w,
         map_scans=jnp.zeros((M, S, 3), F32),
         map_scan_valid=jnp.zeros((M, S), bool),
+        map_world=jnp.zeros((M, S, 3), F32),
         map_p=jnp.zeros((M, 3), F64),
         map_q=jnp.tile(jnp.array([1.0, 0, 0, 0], F64), (M, 1)),
         map_slot_valid=jnp.zeros((M,), bool),
@@ -531,19 +535,21 @@ def make_replay(cfg: GlioConfig):
             ba=w_slid.ba, bg=w_slid.bg)
         w_new = jax.tree.map(lambda a, b: jnp.where(first, a, b), w, w_new)
 
-        # 4. Build the local map: ring-buffer lidar-frame clouds → world
-        # (extrinsic applied exactly as the window queries apply it).
-        # Entirely in f32: the product was cast to f32 anyway (association
-        # + plane fits are f32), and the M·S = 20·16384-point quaternion
-        # rotate was the window's largest fixed-cost emulated-f64 op
-        # (VERDICT r2 #9). f32 keeps ~0.1 mm at the local-map scale.
-        map_body = lidar_factors.body_from_lidar(
-            c.map_scans.astype(F32), q_lb.astype(F32), t_lb.astype(F32))
-        map_world = (quat.rotate(c.map_q[:, None, :].astype(F32), map_body)
-                     + c.map_p[:, None, :].astype(F32))
+        # 4. Local map in world frame: read the CACHED world clouds.
+        # Poses freeze once a frame leaves the window, so only K of the
+        # M slots change per step — step 8 retransforms exactly those
+        # (same f32 elementwise math as the old per-step full rebuild,
+        # bit-identical values). Then voxel the map to 0.4 m exactly as
+        # the reference does before its kd-tree
+        # (``ds_filter_surf_map.setLeafSize(0.4,..)``, Estimator.cpp:854,
+        # applied at :3618-3631): at width 50 the raw ring is M·S=51k
+        # points; the unvoxelized kNN over it was the dominant
+        # width-scaled fixed cost (r5 ablation), and the reference's
+        # association semantics are against the DOWNSAMPLED map.
         map_valid_pts = c.map_scan_valid & c.map_slot_valid[:, None]
-        map_flat = map_world.reshape(M * S, 3)
-        map_valid_flat = map_valid_pts.reshape(M * S)
+        map_flat, map_valid_flat = neighbors.voxel_downsample(
+            c.map_world.reshape(M * S, 3), map_valid_pts.reshape(M * S),
+            0.4, cfg.shapes.map_points, scatter_keys=True)
 
         # 5. Associate window scans against the map.
         lidar_meas = _associate(cfg, w_new, scans, scan_valid,
@@ -674,14 +680,26 @@ def make_replay(cfg: GlioConfig):
         # frame K-1-j while j < K. We append the newest frame each step.
         head = c.map_head
         slot = head % M
+
+        def to_world(scan_body, p_, q_):
+            # Exactly the transform the old per-step map rebuild applied
+            # (extrinsic + pose, all f32) — values stay bit-identical.
+            b = lidar_factors.body_from_lidar(
+                scan_body.astype(F32), q_lb.astype(F32), t_lb.astype(F32))
+            return (quat.rotate(q_.astype(F32), b)
+                    + p_.astype(F32))
+
         map_scans = c.map_scans.at[slot].set(inp.scan)
         map_scan_valid = c.map_scan_valid.at[slot].set(inp.scan_valid)
         map_p = c.map_p.at[slot].set(solved.p[newest])
         map_q = c.map_q.at[slot].set(solved.q[newest])
+        map_world = c.map_world.at[slot].set(
+            to_world(inp.scan, solved.p[newest], solved.q[newest]))
         map_slot_valid = c.map_slot_valid.at[slot].set(True)
-        # Write back refreshed poses for the last K-1 slots (window frames).
+        # Write back refreshed poses for the last K-1 slots (window
+        # frames) and refresh their cached world clouds.
         def write_back(i, arrs):
-            mp, mq = arrs
+            mp, mq, mw = arrs
             # window frame index K-1-1-i (skip newest already written),
             # slot head-1-i.
             wf = K - 2 - i
@@ -689,9 +707,12 @@ def make_replay(cfg: GlioConfig):
             in_window = (i < n_edges)
             mp = mp.at[sl].set(jnp.where(in_window, solved.p[wf], mp[sl]))
             mq = mq.at[sl].set(jnp.where(in_window, solved.q[wf], mq[sl]))
-            return mp, mq
+            w_sl = to_world(map_scans[sl], solved.p[wf], solved.q[wf])
+            mw = mw.at[sl].set(jnp.where(in_window, w_sl, mw[sl]))
+            return mp, mq, mw
 
-        map_p, map_q = jax.lax.fori_loop(0, K - 1, write_back, (map_p, map_q))
+        map_p, map_q, map_world = jax.lax.fori_loop(
+            0, K - 1, write_back, (map_p, map_q, map_world))
 
         new_base = SlidingWindowCarry(
             window=solved,
@@ -703,6 +724,7 @@ def make_replay(cfg: GlioConfig):
             prior_lin=prior_lin,
             map_scans=map_scans,
             map_scan_valid=map_scan_valid,
+            map_world=map_world,
             map_p=map_p,
             map_q=map_q,
             map_slot_valid=map_slot_valid,
