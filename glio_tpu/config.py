@@ -148,6 +148,15 @@ class FeatureSelectionConfig:
     batch_feature_res_num: int = 25
     batch_rand_set_num: int = 400
     random_select: bool = True
+    # Window selection mode (round 5; no reference counterpart — the
+    # reference picks a uniform random subset). False: deterministic
+    # global top-F by fit weight (picks the most confident fits;
+    # measured best on corner-rich content — noise-free sim tracks
+    # <0.1 m). True: half global / half spread over 3 dominant-normal
+    # axes × 6 azimuth sextants (constrains every axis + yaw lever
+    # arms; measured 19.6 → ~4 m over 60 keyframes on ground-dominated
+    # HDL-32E raycast frames where the global mode picks ~100% ground).
+    diverse_select: bool = False
 
 
 @dataclass(frozen=True)

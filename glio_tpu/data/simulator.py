@@ -491,6 +491,32 @@ def to_range_image(pts_body, valid, n_rings=16, n_cols=360,
     return img, img_valid
 
 
+def corridor_world(traj, n_walls=200, seed=8, min_clearance=3.0,
+                   extent=120.0):
+    """A raycast-safe wall world flanking a trajectory.
+
+    ``PlaneWorld(along=...)`` places walls lateral to RANDOM path points;
+    on a curving path a wall lateral to one segment can sit ON another
+    segment — the sensor then drives through it and raycast ranges
+    collapse to <1 m (measured). This helper drops every wall patch whose
+    rectangle comes within ``min_clearance`` of ANY trajectory point.
+    """
+    traj = np.asarray(traj, float)
+    world = PlaneWorld(extent=extent, n_walls=n_walls, seed=seed,
+                       along=traj)
+    c, n = world.centers[:-1], world.normals[:-1]       # exclude ground
+    t1, t2, half = world.t1[:-1], world.t2[:-1], world.half[:-1]
+    rel = traj[:, None, :] - c[None, :, :]              # (T, W, 3)
+    dpl = np.abs((rel * n[None]).sum(-1))
+    du = np.maximum(np.abs((rel * t1[None]).sum(-1)) - half[None, :, 0], 0)
+    dv = np.maximum(np.abs((rel * t2[None]).sum(-1)) - half[None, :, 1], 0)
+    dist = np.sqrt(dpl ** 2 + du ** 2 + dv ** 2).min(0)
+    keep = np.concatenate([dist > min_clearance, [True]])  # ground stays
+    for attr in ("centers", "normals", "half", "t1", "t2"):
+        setattr(world, attr, getattr(world, attr)[keep])
+    return world
+
+
 def raycast_scan(world: PlaneWorld, p_w, R_wb, n_rings=8, n_cols=160,
                  elev_lo=-0.30, elev_hi=0.12, max_range=60.0, noise=0.01,
                  rng=None):

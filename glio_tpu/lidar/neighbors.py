@@ -153,12 +153,16 @@ def voxel_downsample(points: jnp.ndarray, valid: jnp.ndarray,
                      origin: float = 2048.0, scatter_keys: bool = False):
     """Deterministic voxel-grid downsample to a fixed-size output.
 
-    TPU-shaped replacement for ``pcl::VoxelGrid``: quantize to voxel keys,
-    sort by key, keep the first point of each run (the reference's PCL
-    filter averages points per voxel; keeping a representative point
-    changes downstream plane fits by ≪ the voxel size and avoids a
-    segment-mean scatter). Output is padded/truncated to `max_out` with a
-    validity mask — deterministic for fixed input order.
+    TPU-shaped replacement for ``pcl::VoxelGrid``: quantize to voxel
+    keys, sort by key, keep the FIRST point of each run. The reference's
+    PCL filter emits per-voxel centroids instead; a centroid variant was
+    built and MEASURED WORSE in round 5 (60-keyframe window replay on
+    HDL-32E raycast frames: 14.3 m drift vs 3.8 m with first-point —
+    centroids of voxels straddling two planes are phantom points off
+    BOTH surfaces and pass the 0.18 m plane tolerance, while a real
+    surface point is merely quantized within its voxel). Output is
+    padded/truncated to `max_out` with a validity mask — deterministic
+    for fixed input order.
 
     ``scatter_keys``: order voxels by a BIJECTIVE 64-bit mix of the key
     instead of raw spatial order, so that when the population exceeds

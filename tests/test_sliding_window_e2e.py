@@ -215,3 +215,69 @@ def test_checkpoint_resume_with_gnss_window(tmp_path):
                                   np.asarray(full.p[4:]))
     np.testing.assert_array_equal(np.asarray(out_tail.ddt),
                                   np.asarray(full.ddt[4:]))
+
+
+def test_diverse_selection_rescues_ground_dominated_content():
+    """Round-5 finding: on ground-dominated range-image content, the
+    deterministic global top-F-by-weight feature selection picks almost
+    exclusively ground planes (flattest fits), leaving horizontal
+    translation and yaw soft — the window drifts quadratically while a
+    normal+azimuth-diverse selection tracks (measured at production
+    shape: 19.6 m vs 3.75 m over 60 keyframes). This pins the reduced-
+    shape version of that A/B.
+    """
+    import dataclasses
+    import os
+    from glio_tpu.data.simulator import (corridor_world, raycast_scan,
+                                         _quat_rotmat)
+    from glio_tpu.models.preprocessing import make_preprocessor
+
+    # Production shape is REQUIRED: at reduced shapes both modes track
+    # (measured 0.30/0.47 m at 24x700/T=14) — the degeneracy needs the
+    # HDL-32E ground share and ~30+ keyframes to compound.
+    T = 36
+    ep, dense = simulate_episode(
+        n_keyframes=T, kf_dt=0.3, scan_points=2048, seed=8,
+        scan_noise=0.01, q_lb=(1, 0, 0, 0), t_lb=(0, 0, 0),
+        circle_omega=0.12, return_dense_gt=True)
+    kf_idx = dense["kf_idx"]
+    cfg0 = GlioConfig().replace(
+        shapes=ShapeConfig(max_imu_per_interval=40, scan_points=2048,
+                           map_points=16384),
+        estimator=EstimatorConfig(local_map_width=20, sw_max_iter=10))
+    pre = make_preprocessor(cfg0, surf_out=2048)
+    cache = f"/tmp/glio_test_divsel_{T}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        scan, sv = z["scan"], z["sv"]
+    else:
+        world = corridor_world(dense["p"][kf_idx], n_walls=300, seed=8)
+        rng = np.random.default_rng(12)
+        scan = np.zeros((T, 2048, 3), np.float32)
+        sv = np.zeros((T, 2048), bool)
+        for i in range(T):
+            img, iv = raycast_scan(
+                world, dense["p"][kf_idx[i]],
+                _quat_rotmat(dense["q"][kf_idx[i]]),
+                n_rings=32, n_cols=1800, elev_lo=-0.535, elev_hi=0.186,
+                max_range=80.0, rng=rng)
+            f = pre(jnp.asarray(img), jnp.asarray(iv))
+            scan[i] = np.asarray(f.surf)
+            sv[i] = np.asarray(f.surf_valid)
+        np.savez_compressed(cache, scan=scan, sv=sv)
+    ep.scan, ep.scan_valid = scan, sv
+
+    def run(diverse):
+        cfg = cfg0.replace(feature_selection=dataclasses.replace(
+            cfg0.feature_selection, diverse_select=diverse))
+        replay, _ = make_replay(cfg)
+        out = replay(ep.to_inputs(), ep.p0, ep.q0, ep.v0, ep.acc0, ep.gyr0)
+        return np.linalg.norm(np.asarray(out.p) - ep.gt_p, axis=-1).max()
+
+    e_global = run(False)
+    e_div = run(True)
+    # Diverse must materially beat global on this content AND stay sane
+    # (measured r5 at this config: 2.81 m vs 4.32 m — ratio 0.65; the
+    # effect widens with window/horizon: 3.75 m vs 19.6 m at T=60/W=50).
+    assert e_div < 0.8 * e_global, (e_div, e_global)
+    assert e_div < 3.5, (e_div, e_global)
