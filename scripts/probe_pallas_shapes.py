@@ -40,9 +40,11 @@ def trial(q, Q, N, qt, mt):
     q.put(f"ok compile={compile_s:.1f}s run={run_ms:.3f}ms idx_match={same:.4f}")
 
 
-# Round-5 measured envelope: tiles (8,128) compile and run (probe),
-# every rung with tiles >= (256,1024) HANGS in Mosaic AOT (300 s cap).
-# The small-tile rungs below bisect the boundary for future rounds.
+# Round-5 measured envelope (full ladder run): tiles (8,128) and
+# (64,256) compile and run — the (64,256) rung is EXACT vs the XLA kNN
+# (idx_match 1.0000) but slow (28.5 s compile, 5.26 ms/call vs XLA's
+# sub-ms); every rung with tiles >= (128,512) HANGS in Mosaic AOT
+# (300 s cap each). Boundary: between 64x256 and 128x512 tiles.
 LADDER = [
     (64, 256, 64, 256),
     (128, 512, 128, 512),
