@@ -66,7 +66,7 @@ def load_gnss(rx: str) -> GnssEpochs:
     return g
 
 
-def run_receiver(rx: str) -> dict:
+def run_receiver(rx: str, return_solutions: bool = False):
     g = load_gnss(rx)
     E = g.time.shape[0]
     out = {"receiver": rx, "epochs": E,
@@ -138,12 +138,49 @@ def run_receiver(rx: str) -> dict:
         d = np.linalg.norm(fixes_dd[m] - flt_pos[m], axis=1)
         s = np.sqrt(sig_dd[m] ** 2 + sig_f[m] ** 2) * np.sqrt(3.0)
         out["dd_float_norm_med"] = round(float(np.median(d / s)), 2)
+    if return_solutions:
+        return out, {"time": g.time, "dd": fixes_dd, "dd_ok": ok_dd,
+                     "flt": flt_pos, "flt_ok": ok_f}
+    return out
+
+
+def cross_receiver(sol_a: dict, sol_b: dict) -> dict:
+    """TRUE hardware-independent accuracy check: the m8t and f9p rovers
+    recorded the SAME drive simultaneously (652 common epochs), so two
+    receivers' solutions must agree to the inter-antenna baseline
+    (~1 m) plus their solution errors — no ground-truth CSV needed and
+    nothing (hardware, tracking loops, constellations: GC vs GREC) is
+    shared between them except the sky."""
+    out = {"receiver": "m8t-vs-f9p"}
+    ia, ib = [], []
+    jb = 0
+    for i, t in enumerate(sol_a["time"]):
+        while jb < len(sol_b["time"]) - 1 and sol_b["time"][jb] < t - 0.05:
+            jb += 1
+        if abs(sol_b["time"][jb] - t) <= 0.05:
+            ia.append(i)
+            ib.append(jb)
+    ia, ib = np.asarray(ia), np.asarray(ib)
+    out["common_epochs"] = int(len(ia))
+    for key, okkey, name in (("dd", "dd_ok", "dd_cross_med_m"),
+                             ("flt", "flt_ok", "float_cross_med_m")):
+        m = sol_a[okkey][ia] & sol_b[okkey][ib]
+        if m.sum() >= 10:
+            d = np.linalg.norm(sol_a[key][ia][m] - sol_b[key][ib][m],
+                               axis=1)
+            out[name] = round(float(np.median(d)), 2)
+            out[name.replace("_med_", "_p90_")] = round(
+                float(np.percentile(d, 90)), 2)
+            out[name.replace("_med_m", "_n")] = int(m.sum())
     return out
 
 
 def main():
+    sols = {}
     for rx in RECEIVERS:
-        print(json.dumps(run_receiver(rx)))
+        res, sols[rx] = run_receiver(rx, return_solutions=True)
+        print(json.dumps(res))
+    print(json.dumps(cross_receiver(sols["m8t"], sols["f9p"])))
 
 
 if __name__ == "__main__":
